@@ -1,0 +1,193 @@
+"""MIDI event tokenizer: note-list <-> token-sequence codec.
+
+Behavioral parity with the reference `MidiTokenizer`
+(`modules/midi_tokenizer.py:19-103`), including its quirks (documented below),
+but vectorized with numpy and extended with fixed-shape encoders so batches
+feed XLA with static shapes.
+
+Vocab layout (reference `modules/midi_tokenizer.py:25-29` +
+`configs/config_default.yaml:33` vocab=1400):
+  0            silence
+  1            PAD
+  2            BOS
+  3            EOS
+  4..299       time tokens  (10 ms grid: token = int(onset*100) + 4; onset < 2.96 s)
+  300..399     pitch tokens (token = pitch + 300)
+  400..527     velocity tokens (token = velocity + 400, optional via add_velocity)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from adt_str_tpu.config import TokenizerConfig
+from adt_str_tpu.utils.mappings import (
+    ADTOF_LUT,
+    ADTOF_MAPPING,
+    GM_STANDARD_TO_GM_CUSTOM_LUT,
+)
+
+TIME_OFFSET = 4
+PITCH_OFFSET = 300
+VELOCITY_OFFSET = 400
+
+
+class MidiTokenizer:
+    def __init__(self, config: TokenizerConfig):
+        self.config = config
+        self.ADTOF_mapping = config.ADTOF_mapping
+        self.BOS_token = config.BOS_token
+        self.EOS_token = config.EOS_token
+        self.pad_token = config.pad_token
+        self.silence_token = config.silence_token
+        self.add_velocity = config.add_velocity
+        # Tokens per note in the fixed-shape encoding.
+        self.tokens_per_note = 3 if self.add_velocity else 2
+
+    # ------------------------------------------------------------------ mapping
+
+    def map_notes_to_Gm_custom(
+        self,
+        notes: np.ndarray,
+        random_velocity: bool = False,
+        rng: np.random.Generator | None = None,
+    ) -> np.ndarray:
+        """GM-standard -> GM-custom (optionally -> ADTOF) pitch remap, with
+        optional random-velocity augmentation.
+
+        Vectorized equivalent of `modules/midi_tokenizer.py:36-47` (that
+        version loops in Python and mutates in place; this one gathers through
+        a dense LUT). Unknown pitches raise, matching the reference KeyError.
+        """
+        notes = np.asarray(notes, dtype=np.float32).copy()
+        if notes.size == 0:
+            return notes
+        pitches = notes[:, 2].astype(np.int64)
+        if np.any((pitches < 0) | (pitches > 127)):
+            raise KeyError(f"pitch out of MIDI range: {pitches}")
+        mapped = GM_STANDARD_TO_GM_CUSTOM_LUT[pitches]
+        if np.any(mapped < 0):
+            bad = pitches[mapped < 0]
+            raise KeyError(f"pitch not in GM drum mapping: {bad.tolist()}")
+        if self.ADTOF_mapping:
+            mapped = ADTOF_LUT[mapped]
+        notes[:, 2] = mapped.astype(np.float32)
+        if random_velocity:
+            rng = rng or np.random.default_rng()
+            # torch.randint(10, 127) samples [10, 126] (modules/midi_tokenizer.py:46)
+            notes[:, 3] = rng.integers(10, 127, size=notes.shape[0]).astype(np.float32)
+        return notes
+
+    # ------------------------------------------------------------------- encode
+
+    def notes_to_adt_tokens(self, notes) -> np.ndarray:
+        """[BOS, (time, pitch[, velocity])*, EOS] int64 array.
+
+        Same arithmetic as `modules/midi_tokenizer.py:49-64`: the time token is
+        `int(onset*100) + 4` with float32 truncation (notes are float32 in the
+        reference pipeline), asserted < 300.
+        """
+        notes = np.asarray(notes, dtype=np.float32)
+        if notes.size == 0:
+            return np.array([self.BOS_token, self.EOS_token], dtype=np.int64)
+        onset_ticks = np.trunc(notes[:, 0] * np.float32(100.0)).astype(np.int64)
+        time_tok = onset_ticks + TIME_OFFSET
+        if np.any(time_tok >= PITCH_OFFSET):
+            raise AssertionError("Time token is out of range")
+        pitch_tok = notes[:, 2].astype(np.int64) + PITCH_OFFSET
+        if self.add_velocity:
+            vel_tok = notes[:, 3].astype(np.int64) + VELOCITY_OFFSET
+            body = np.stack([time_tok, pitch_tok, vel_tok], axis=1).reshape(-1)
+        else:
+            body = np.stack([time_tok, pitch_tok], axis=1).reshape(-1)
+        return np.concatenate(
+            [
+                np.array([self.BOS_token], dtype=np.int64),
+                body,
+                np.array([self.EOS_token], dtype=np.int64),
+            ]
+        )
+
+    def empty_adt_tokens(self) -> np.ndarray:
+        """[BOS, silence, EOS] (modules/midi_tokenizer.py:66-67)."""
+        return np.array(
+            [self.BOS_token, self.silence_token, self.EOS_token], dtype=np.int64
+        )
+
+    def encode_padded(self, notes, max_tokens: int) -> tuple[np.ndarray, int]:
+        """Fixed-shape encode: (tokens[max_tokens] padded with PAD, true length).
+
+        TPU addition (no reference equivalent): static shapes for XLA. Notes
+        that would overflow `max_tokens` are dropped whole (never a partial
+        time/pitch/velocity group).
+        """
+        tokens = self.notes_to_adt_tokens(notes)
+        if len(tokens) > max_tokens:
+            n_notes = (max_tokens - 2) // self.tokens_per_note
+            tokens = np.concatenate(
+                [
+                    tokens[: 1 + n_notes * self.tokens_per_note],
+                    np.array([self.EOS_token], dtype=np.int64),
+                ]
+            )
+        length = len(tokens)
+        out = np.full(max_tokens, self.pad_token, dtype=np.int64)
+        out[:length] = tokens
+        return out, length
+
+    # ------------------------------------------------------------------- decode
+
+    def decode(self, tokens) -> np.ndarray:
+        """Token sequence -> [onset, onset+0.1, pitch, velocity] float32 rows.
+
+        Faithful port of `modules/midi_tokenizer.py:69-100` including its
+        quirks: pitch tokens only attach when the immediately preceding index
+        held a time token; velocity tokens when index-2 did; results are zipped
+        positionally (a dangling time token shifts alignment); when no velocity
+        tokens decoded at all, velocity defaults to 100; under ADTOF the pitch
+        is passed through the ADTOF map again (idempotent on ADTOF classes).
+        """
+        onsets: dict[int, float] = {}
+        pitches: dict[int, float] = {}
+        velocities: dict[int, float] = {}
+        for i, token in enumerate(np.asarray(tokens).tolist()):
+            token = int(token)
+            if token in (self.BOS_token, self.EOS_token):
+                continue
+            if TIME_OFFSET <= token < PITCH_OFFSET:
+                onsets[i] = (token - TIME_OFFSET) / 100
+            elif PITCH_OFFSET <= token < VELOCITY_OFFSET:
+                pitch = token - PITCH_OFFSET
+                if self.ADTOF_mapping:
+                    pitch = ADTOF_MAPPING.get(pitch, pitch)
+                if i - 1 not in onsets:
+                    continue
+                pitches[i - 1] = pitch
+            elif token >= VELOCITY_OFFSET:
+                if i - 2 not in onsets:
+                    continue
+                velocities[i - 2] = token - VELOCITY_OFFSET
+
+        if len(velocities) == 0:
+            velocities = defaultdict(float)
+            for i in range(len(onsets)):
+                velocities[i] = 100
+
+        notes = [
+            [onset, onset + 0.1, pitch, velocity]
+            for onset, pitch, velocity in zip(
+                onsets.values(), pitches.values(), velocities.values()
+            )
+        ]
+        return np.array(notes, dtype=np.float32)
+
+    def batch_decode(self, token_batch) -> list[np.ndarray]:
+        return [self.decode(tokens) for tokens in token_batch]
+
+    def truncate_at_eos(self, tokens: np.ndarray) -> np.ndarray:
+        """Stop at first EOS or PAD (eval convention, `eval.py:379-381`)."""
+        tokens = np.asarray(tokens)
+        stop = np.where((tokens == self.EOS_token) | (tokens == self.pad_token))[0]
+        return tokens[: stop[0]] if len(stop) else tokens

@@ -1,0 +1,23 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-device parallelism (DP/TP over `jax.sharding.Mesh`) is tested without
+TPU hardware via XLA's host-platform device splitting, per SURVEY.md §4's
+"consequence" plan. Real-TPU benchmarking happens in bench.py, not tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
