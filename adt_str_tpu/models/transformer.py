@@ -1,0 +1,271 @@
+"""Functional transformer encoder/decoder blocks.
+
+Architecture parity with the reference model (`model.py:100-190`): post-norm
+(`norm_first=False`) PyTorch `TransformerEncoderLayer`/`TransformerDecoderLayer`
+semantics — residual -> LayerNorm ordering, exact-erf GELU FFN, combined QKV
+projection, additive float masks (0 / -1e4) instead of boolean -inf masks for
+bf16 safety (reference model.py:173-181).
+
+Everything is a pure function over a params pytree (nested dicts of jnp
+arrays). No module framework: params are explicit so pjit sharding rules,
+KV-cache decoding, and torch-checkpoint conversion stay trivial.
+
+Precision policy (TPU): params fp32, matmuls/activations in `compute_dtype`
+(default bf16), softmax and LayerNorm statistics in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+NEG_MASK = -1e4  # additive mask value (reference model.py:177)
+
+
+# --------------------------------------------------------------------- init
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key, d_in, d_out, bias=True, dtype=jnp.float32) -> Params:
+    """torch.nn.Linear default init: U(-1/sqrt(d_in), 1/sqrt(d_in)).
+
+    Weight stored as (d_in, d_out) — note: transposed vs torch's (out, in) —
+    so forward is `x @ w` with no transpose on the MXU.
+    """
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": _uniform(kw, (d_in, d_out), bound, dtype)}
+    if bias:
+        p["b"] = _uniform(kb, (d_out,), bound, dtype)
+    return p
+
+
+def layernorm_init(dim, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def attention_init(key, d_model, dtype=jnp.float32) -> Params:
+    """torch.nn.MultiheadAttention init: xavier-uniform in_proj, zero biases on
+    in_proj and out_proj, Linear-default out_proj weight."""
+    k1, k2 = jax.random.split(key)
+    xavier = math.sqrt(6.0 / (d_model + 3 * d_model))
+    return {
+        "in_proj": {
+            "w": _uniform(k1, (d_model, 3 * d_model), xavier, dtype),
+            "b": jnp.zeros((3 * d_model,), dtype),
+        },
+        "out_proj": {
+            "w": _uniform(k2, (d_model, d_model), 1.0 / math.sqrt(d_model), dtype),
+            "b": jnp.zeros((d_model,), dtype),
+        },
+    }
+
+
+def ffn_init(key, d_model, d_ff, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear1": linear_init(k1, d_model, d_ff, dtype=dtype),
+        "linear2": linear_init(k2, d_ff, d_model, dtype=dtype),
+    }
+
+
+def encoder_layer_init(key, d_model, d_ff, dtype=jnp.float32) -> Params:
+    ka, kf = jax.random.split(key)
+    return {
+        "self_attn": attention_init(ka, d_model, dtype),
+        "ffn": ffn_init(kf, d_model, d_ff, dtype),
+        "norm1": layernorm_init(d_model, dtype),
+        "norm2": layernorm_init(d_model, dtype),
+    }
+
+
+def decoder_layer_init(key, d_model, d_ff, dtype=jnp.float32) -> Params:
+    ka, kc, kf = jax.random.split(key, 3)
+    return {
+        "self_attn": attention_init(ka, d_model, dtype),
+        "cross_attn": attention_init(kc, d_model, dtype),
+        "ffn": ffn_init(kf, d_model, d_ff, dtype),
+        "norm1": layernorm_init(d_model, dtype),
+        "norm2": layernorm_init(d_model, dtype),
+        "norm3": layernorm_init(d_model, dtype),
+    }
+
+
+# ------------------------------------------------------------------ forward
+
+def linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    dtype = dtype or x.dtype
+    y = x.astype(dtype) @ p["w"].astype(dtype)
+    if "b" in p:
+        y = y + p["b"].astype(dtype)
+    return y
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics (torch computes in input dtype; fp32 here
+    is the TPU-safe choice and matches within bf16 tolerance)."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(orig)
+
+
+def dropout(x: jnp.ndarray, rate: float, key: Optional[jax.Array], train: bool) -> jnp.ndarray:
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def split_heads(x: jnp.ndarray, nhead: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, nhead, d // nhead).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """(B,H,Tq,hd) x (B,H,Tk,hd) scaled dot-product attention; `mask` is an
+    additive float mask broadcastable to (B,H,Tq,Tk); softmax in fp32.
+
+    Attention-probability dropout matches torch nn.MultiheadAttention, which
+    drops attn weights with the layer's dropout rate in train mode."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(head_dim)
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    probs = dropout(probs, dropout_rate, dropout_key, train)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def multihead_attention(
+    p: Params,
+    query: jnp.ndarray,
+    key_value: jnp.ndarray,
+    nhead: int,
+    mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    d_model = query.shape[-1]
+    w = p["in_proj"]["w"].astype(query.dtype)
+    b = p["in_proj"]["b"].astype(query.dtype)
+    q = query @ w[:, :d_model] + b[:d_model]
+    k = key_value @ w[:, d_model : 2 * d_model] + b[d_model : 2 * d_model]
+    v = key_value @ w[:, 2 * d_model :] + b[2 * d_model :]
+    out = attention_core(
+        split_heads(q, nhead),
+        split_heads(k, nhead),
+        split_heads(v, nhead),
+        mask,
+        dropout_rate,
+        dropout_key,
+        train,
+    )
+    return linear(p["out_proj"], merge_heads(out))
+
+
+def ffn_forward(p: Params, x: jnp.ndarray, dropout_rate, key, train) -> jnp.ndarray:
+    # torch activation="gelu" is the exact erf GELU
+    h = jax.nn.gelu(linear(p["linear1"], x), approximate=False)
+    h = dropout(h, dropout_rate, key, train)
+    return linear(p["linear2"], h)
+
+
+def encoder_layer_forward(
+    p: Params,
+    x: jnp.ndarray,
+    nhead: int,
+    dropout_rate: float,
+    key: Optional[jax.Array],
+    train: bool,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    keys = jax.random.split(key, 4) if key is not None else (None,) * 4
+    attn = multihead_attention(
+        p["self_attn"], x, x, nhead, mask, dropout_rate, keys[3], train
+    )
+    x = layer_norm(p["norm1"], x + dropout(attn, dropout_rate, keys[0], train))
+    ff = ffn_forward(p["ffn"], x, dropout_rate, keys[1], train)
+    x = layer_norm(p["norm2"], x + dropout(ff, dropout_rate, keys[2], train))
+    return x
+
+
+def decoder_layer_forward(
+    p: Params,
+    x: jnp.ndarray,
+    memory: jnp.ndarray,
+    nhead: int,
+    dropout_rate: float,
+    key: Optional[jax.Array],
+    train: bool,
+    self_mask: Optional[jnp.ndarray] = None,
+    cross_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    keys = jax.random.split(key, 6) if key is not None else (None,) * 6
+    attn = multihead_attention(
+        p["self_attn"], x, x, nhead, self_mask, dropout_rate, keys[4], train
+    )
+    x = layer_norm(p["norm1"], x + dropout(attn, dropout_rate, keys[0], train))
+    cross = multihead_attention(
+        p["cross_attn"], x, memory, nhead, cross_mask, dropout_rate, keys[5], train
+    )
+    x = layer_norm(p["norm2"], x + dropout(cross, dropout_rate, keys[1], train))
+    ff = ffn_forward(p["ffn"], x, dropout_rate, keys[2], train)
+    x = layer_norm(p["norm3"], x + dropout(ff, dropout_rate, keys[3], train))
+    return x
+
+
+# ---------------------------------------------------------------- positional
+
+def sinusoidal_positions(maxlen: int, d_model: int) -> np.ndarray:
+    """Sinusoidal table identical to the reference `PositionalEncoding`
+    (model.py:52-62): interleaved sin/cos with den = exp(-2i ln(1e4)/d)."""
+    den = np.exp(-np.arange(0, d_model, 2) * math.log(10000.0) / d_model)
+    pos = np.arange(maxlen)[:, None]
+    table = np.zeros((maxlen, d_model), dtype=np.float32)
+    table[:, 0::2] = np.sin(pos * den)
+    table[:, 1::2] = np.cos(pos * den)
+    return table
+
+
+def causal_mask_additive(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, T, T) additive causal mask: 0 on/below diagonal, -1e4 above."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), NEG_MASK, dtype=dtype), k=1)
+    return mask[None, None, :, :]
+
+
+def padding_mask_additive(lengths: jnp.ndarray, seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, 1, 1, T) additive key-padding mask from valid lengths
+    (position >= length masked), matching `create_mask_plain`
+    (utils/utils.py:36-57) + the additive conversion at model.py:178-181."""
+    pos = jnp.arange(seq_len)
+    pad = pos[None, :] >= lengths[:, None]
+    return jnp.where(pad, NEG_MASK, 0.0).astype(dtype)[:, None, None, :]
