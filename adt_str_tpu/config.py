@@ -87,7 +87,7 @@ def make_dataclass_from(cls, *sections: dict):
     return cls(**_filter_kwargs(cls, merged))
 
 
-@dataclass
+@dataclass(frozen=True)
 class SharedConfig:
     """Audio framing contract shared by every stage (reference `config.py:8-13`)."""
 
@@ -105,7 +105,7 @@ class SharedConfig:
         return int(self.input_sec * self.sample_rate)
 
 
-@dataclass
+@dataclass(frozen=True)
 class TokenizerConfig:
     """Mirrors `MidiTokenizerConfig` (`modules/midi_tokenizer.py:9-16`)."""
 
@@ -117,7 +117,7 @@ class TokenizerConfig:
     add_velocity: bool = True
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig(SharedConfig):
     """Mirrors `ADTModelConfig` (`config.py:81-119`)."""
 
@@ -146,7 +146,7 @@ class ModelConfig(SharedConfig):
         return int(self.d_model * 4)  # model.py:206,213
 
 
-@dataclass
+@dataclass(frozen=True)
 class SynthConfig(SharedConfig):
     """Mirrors `SynthDrumConfig` (`modules/synthetiser.py:15-27`)."""
 
@@ -167,7 +167,7 @@ class SynthConfig(SharedConfig):
     max_oneshot_sec: float = 2.56  # one-shot bank rows padded to this length
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainDataConfig(SharedConfig):
     """Mirrors `TrainDatasetConfig`/`LakhDatasetConfig` (`train_dataset.py:23-38`)."""
 
@@ -183,7 +183,7 @@ class TrainDataConfig(SharedConfig):
     seed: int = 0
 
 
-@dataclass
+@dataclass(frozen=True)
 class EvalDataConfig(SharedConfig):
     """Mirrors `EvalDatasetConfig` + ENST/MDB variants (`eval_dataset.py:21-37`)."""
 
@@ -260,7 +260,7 @@ class MeshConfig:
     model_axis: int = 1
 
 
-@dataclass
+@dataclass(frozen=True)
 class ClapConfig(SharedConfig):
     """Mirrors `ClapConfig` (`config.py:17-22`)."""
 

@@ -1,0 +1,263 @@
+"""Autoregressive decoding: KV-cache greedy sampling and vectorized beam search.
+
+Semantics parity with the reference (`model.py:260-508`):
+
+- greedy `sample`: per-row finished mask freezing rows at EOS, early exit when
+  every row finished (model.py:295-322). The reference re-runs the full decoder
+  on the whole generated prefix every step with no KV cache; here decoding is a
+  `lax.while_loop` over a preallocated (B, max_len) buffer with per-layer
+  K/V caches and precomputed cross-attention K/V — O(T) instead of O(T^2)
+  decoder work and a single XLA compilation.
+- `beam_search`: length-penalty scoring `log_prob / len**penalty`
+  (model.py:502-508), finished beams frozen (extend only with EOS at zero
+  log-prob, preserving their score and frozen length), results padded with EOS
+  to a common length (model.py:485-500). The reference loops over beams in
+  Python per batch item; here all B*beam hypotheses advance in one batched
+  XLA program.
+
+Outputs truncate identically under the eval convention (stop at first
+EOS/PAD, eval.py:379-381) because frozen rows are EOS-filled.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from adt_str_tpu.config import ModelConfig
+from adt_str_tpu.models import transformer as T
+from adt_str_tpu.models.adt import encode
+
+Params = dict[str, Any]
+
+
+class DecoderCaches(NamedTuple):
+    # self-attention caches: (L, B, H, max_len, head_dim)
+    k_self: jnp.ndarray
+    v_self: jnp.ndarray
+    # precomputed cross-attention K/V: (L, B, H, S, head_dim)
+    k_cross: jnp.ndarray
+    v_cross: jnp.ndarray
+
+
+def _proj_kv(p_attn: Params, x: jnp.ndarray, nhead: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    d = x.shape[-1]
+    w = p_attn["in_proj"]["w"].astype(x.dtype)
+    b = p_attn["in_proj"]["b"].astype(x.dtype)
+    k = x @ w[:, d : 2 * d] + b[d : 2 * d]
+    v = x @ w[:, 2 * d :] + b[2 * d :]
+    return T.split_heads(k, nhead), T.split_heads(v, nhead)
+
+
+def init_caches(
+    params: Params, memory: jnp.ndarray, config: ModelConfig, max_len: int
+) -> DecoderCaches:
+    compute = jnp.dtype(config.compute_dtype)
+    layers = params["decoder"]["layers"]
+    B = memory.shape[0]
+    H, hd = config.nhead, config.d_query
+    mem = memory.astype(compute)
+    k_cross, v_cross = zip(*(_proj_kv(l["cross_attn"], mem, H) for l in layers))
+    zeros = jnp.zeros((len(layers), B, H, max_len, hd), compute)
+    return DecoderCaches(
+        k_self=zeros,
+        v_self=zeros,
+        k_cross=jnp.stack(k_cross),
+        v_cross=jnp.stack(v_cross),
+    )
+
+
+def decode_step(
+    params: Params,
+    config: ModelConfig,
+    token: jnp.ndarray,  # (B,) current input token
+    step: jnp.ndarray,  # scalar position of `token`
+    caches: DecoderCaches,
+) -> tuple[jnp.ndarray, DecoderCaches]:
+    """One incremental decoder step -> (B, vocab) logits for the next token."""
+    compute = jnp.dtype(config.compute_dtype)
+    dec = params["decoder"]
+    H = config.nhead
+    d = config.d_model
+    B = token.shape[0]
+    max_len = caches.k_self.shape[3]
+
+    emb = dec["embedding"].astype(compute)[token] * jnp.asarray(math.sqrt(d), compute)
+    pe = jnp.asarray(T.sinusoidal_positions(config.max_positions, d))
+    x = emb + jax.lax.dynamic_slice_in_dim(pe, step, 1, axis=0).astype(compute)  # (B, d) + (1, d)
+    x = x[:, None, :]  # (B, 1, d)
+
+    # positions > step are masked in self-attention over the cache
+    pos = jnp.arange(max_len)
+    self_mask = jnp.where(pos[None, None, None, :] > step, T.NEG_MASK, 0.0)
+
+    k_self, v_self = caches.k_self, caches.v_self
+    for li, layer in enumerate(dec["layers"]):
+        p_sa = layer["self_attn"]
+        w = p_sa["in_proj"]["w"].astype(compute)
+        b = p_sa["in_proj"]["b"].astype(compute)
+        q = T.split_heads(x @ w[:, :d] + b[:d], H)  # (B, H, 1, hd)
+        k_new = T.split_heads(x @ w[:, d : 2 * d] + b[d : 2 * d], H)
+        v_new = T.split_heads(x @ w[:, 2 * d :] + b[2 * d :], H)
+        k_self = jax.lax.dynamic_update_slice(
+            k_self, k_new[None], (li, 0, 0, step, 0)
+        )
+        v_self = jax.lax.dynamic_update_slice(
+            v_self, v_new[None], (li, 0, 0, step, 0)
+        )
+        attn = T.attention_core(q, k_self[li], v_self[li], self_mask)
+        attn = T.linear(p_sa["out_proj"], T.merge_heads(attn))
+        x = T.layer_norm(layer["norm1"], x + attn)
+
+        p_ca = layer["cross_attn"]
+        wc = p_ca["in_proj"]["w"].astype(compute)
+        bc = p_ca["in_proj"]["b"].astype(compute)
+        qc = T.split_heads(x @ wc[:, :d] + bc[:d], H)
+        cross = T.attention_core(qc, caches.k_cross[li], caches.v_cross[li], None)
+        cross = T.linear(p_ca["out_proj"], T.merge_heads(cross))
+        x = T.layer_norm(layer["norm2"], x + cross)
+
+        ff = T.ffn_forward(layer["ffn"], x, 0.0, None, False)
+        x = T.layer_norm(layer["norm3"], x + ff)
+
+    logits = T.linear(dec["generator"], x)[:, 0, :]  # (B, vocab)
+    return logits, DecoderCaches(k_self, v_self, caches.k_cross, caches.v_cross)
+
+
+@partial(jax.jit, static_argnames=("config", "max_length", "start_token", "end_token"))
+def greedy_decode(
+    params: Params,
+    wave: jnp.ndarray,
+    config: ModelConfig,
+    max_length: int = 1000,
+    start_token: int = 2,
+    end_token: int = 3,
+) -> jnp.ndarray:
+    """(B, samples) audio -> (B, max_length) tokens (EOS-filled after finish)."""
+    memory = encode(params, wave, config)
+    return greedy_decode_from_memory(
+        params, memory, config, max_length, start_token, end_token
+    )
+
+
+def greedy_decode_from_memory(
+    params: Params,
+    memory: jnp.ndarray,
+    config: ModelConfig,
+    max_length: int,
+    start_token: int = 2,
+    end_token: int = 3,
+) -> jnp.ndarray:
+    B = memory.shape[0]
+    caches = init_caches(params, memory, config, max_length)
+    tokens = jnp.full((B, max_length), end_token, dtype=jnp.int32)
+    tokens = tokens.at[:, 0].set(start_token)
+    finished = jnp.zeros((B,), dtype=bool)
+
+    def cond(state):
+        step, _, finished, _ = state
+        return (step < max_length - 1) & ~jnp.all(finished)
+
+    def body(state):
+        step, tokens, finished, caches = state
+        logits, caches = decode_step(params, config, tokens[:, step], step, caches)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_token = jnp.where(finished, end_token, next_token)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_token[:, None], (0, step + 1))
+        finished = finished | (next_token == end_token)
+        return step + 1, tokens, finished, caches
+
+    _, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), tokens, finished, caches)
+    )
+    return tokens
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "beam_size", "max_length", "start_token", "end_token"),
+)
+def beam_search_decode(
+    params: Params,
+    wave: jnp.ndarray,
+    config: ModelConfig,
+    beam_size: int = 5,
+    max_length: int = 1000,
+    start_token: int = 2,
+    end_token: int = 3,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Vectorized beam search -> (B, max_length) best sequences (EOS padded)."""
+    memory = encode(params, wave, config)
+    B, S, d = memory.shape
+    V = config.tgt_vocab_size
+    K = beam_size
+    NEG = -1e9
+
+    mem_beam = jnp.repeat(memory, K, axis=0)  # (B*K, S, d)
+    caches = init_caches(params, mem_beam, config, max_length)
+    tokens = jnp.full((B * K, max_length), end_token, dtype=jnp.int32)
+    tokens = tokens.at[:, 0].set(start_token)
+    # only beam 0 is live initially; others start at -inf so first expansion
+    # seeds distinct hypotheses (reference starts from one beam per item)
+    log_probs = jnp.tile(
+        jnp.asarray([0.0] + [NEG] * (K - 1), jnp.float32), (B,)
+    )  # (B*K,)
+    lengths = jnp.ones((B * K,), jnp.int32)  # sequence length incl. BOS
+    finished = jnp.zeros((B * K,), dtype=bool)
+
+    def score(lp, ln):
+        if length_penalty == 0.0:
+            return lp
+        return lp / jnp.power(ln.astype(jnp.float32), length_penalty)
+
+    def cond(state):
+        step, _, _, _, finished, _ = state
+        return (step < max_length - 1) & ~jnp.all(finished)
+
+    def body(state):
+        step, tokens, log_probs, lengths, finished, caches = state
+        logits, caches = decode_step(params, config, tokens[:, step], step, caches)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B*K, V)
+        # finished beams contribute exactly one candidate: themselves + EOS at
+        # zero log-prob (score and length frozen)
+        eos_row = jnp.full((V,), NEG, jnp.float32).at[end_token].set(0.0)
+        logp = jnp.where(finished[:, None], eos_row[None, :], logp)
+        cand_lp = log_probs[:, None] + logp  # (B*K, V)
+        cand_len = jnp.where(finished, lengths, lengths + 1)[:, None]
+        cand_score = score(cand_lp, jnp.broadcast_to(cand_len, cand_lp.shape))
+
+        cand_score = cand_score.reshape(B, K * V)
+        top_score, top_idx = jax.lax.top_k(cand_score, K)  # (B, K)
+        beam_idx = top_idx // V  # source beam within item
+        tok_idx = (top_idx % V).astype(jnp.int32)
+        flat_src = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)  # (B*K,)
+
+        tokens = tokens[flat_src]
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, tok_idx.reshape(-1, 1), (0, step + 1)
+        )
+        log_probs = cand_lp.reshape(B, K * V)[
+            jnp.arange(B)[:, None], top_idx
+        ].reshape(-1)
+        lengths = cand_len[flat_src, 0]
+        was_finished = finished[flat_src]
+        finished = was_finished | (tok_idx.reshape(-1) == end_token)
+        caches = DecoderCaches(
+            k_self=caches.k_self[:, flat_src],
+            v_self=caches.v_self[:, flat_src],
+            k_cross=caches.k_cross[:, flat_src],
+            v_cross=caches.v_cross[:, flat_src],
+        )
+        return step + 1, tokens, log_probs, lengths, finished, caches
+
+    _, tokens, log_probs, lengths, finished, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), tokens, log_probs, lengths, finished, caches)
+    )
+    final_scores = score(log_probs, lengths).reshape(B, K)
+    best = jnp.argmax(final_scores, axis=-1)  # (B,)
+    return tokens.reshape(B, K, max_length)[jnp.arange(B), best]
