@@ -1,0 +1,129 @@
+"""Device mesh and sharding layout.
+
+The reference delegates all parallelism to HF Trainer/accelerate (DDP/NCCL,
+SURVEY.md §2.4; `README.md:45-57`) with zero repo-level collective code. The
+TPU-native equivalent: a 2-D `jax.sharding.Mesh` with axes
+
+- `data`: batch (data parallel). Gradient reduction becomes an XLA `psum`
+  over ICI inserted by pjit — the NCCL-allreduce equivalent.
+- `model`: tensor parallel — FFN and attention projections are sharded
+  column-wise then row-wise (Megatron layout) so each block needs a single
+  reduce per residual branch; the vocab-sharded generator reduces once at the
+  loss.
+
+The flagship model is small (~65 M params), so `model=1` (pure DP) is the
+default production layout; the TP axis exists, is tested on a virtual 8-device
+CPU mesh, and is exercised by `__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = dict[str, Any]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: int = -1, n_model: int = 1, devices: list | None = None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data == -1:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+        f"have {len(devices)}"
+    )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _attn_spec() -> Params:
+    # in_proj columns hold heads (Q|K|V each d_model wide, head-major inside)
+    return {
+        "in_proj": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+        "out_proj": {"w": P(MODEL_AXIS, None), "b": P()},
+    }
+
+
+def _ffn_spec() -> Params:
+    return {
+        "linear1": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+        "linear2": {"w": P(MODEL_AXIS, None), "b": P()},
+    }
+
+
+def _ln_spec() -> Params:
+    return {"scale": P(), "bias": P()}
+
+
+def param_partition_specs(params: Params) -> Params:
+    """PartitionSpec pytree matching the params tree (Megatron-style TP)."""
+
+    def enc_layer(_):
+        return {
+            "self_attn": _attn_spec(),
+            "ffn": _ffn_spec(),
+            "norm1": _ln_spec(),
+            "norm2": _ln_spec(),
+        }
+
+    def dec_layer(_):
+        return {
+            "self_attn": _attn_spec(),
+            "cross_attn": _attn_spec(),
+            "ffn": _ffn_spec(),
+            "norm1": _ln_spec(),
+            "norm2": _ln_spec(),
+            "norm3": _ln_spec(),
+        }
+
+    return {
+        "project_to_mel": {"w": P(), "b": P()},
+        "encoder": {
+            "dense": {"w": P()},
+            "layers": [enc_layer(l) for l in params["encoder"]["layers"]],
+            "final_ln": _ln_spec(),
+        },
+        "decoder": {
+            # embedding replicated (1400 x 768 is tiny); generator vocab-sharded
+            "embedding": P(),
+            "layers": [dec_layer(l) for l in params["decoder"]["layers"]],
+            "generator": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+        },
+    }
+
+
+def param_shardings(mesh: Mesh, params: Params) -> Params:
+    specs = param_partition_specs(params)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params: Params) -> Params:
+    """Place a host params pytree onto the mesh per the partition specs."""
+    shardings = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(mesh: Mesh, batch: Params) -> Params:
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,92 @@
+"""Jitted data/tensor-parallel training and eval steps.
+
+Replaces the reference's HF-Trainer inner loop (`train.py:40-78` compute_loss +
+accelerate DDP). One XLA program per step: forward (bf16) -> fp32 loss ->
+backward -> global-norm clip -> AdamW update. Under a (data, model) mesh the
+gradient reduction is a `psum` over ICI inserted by the compiler from the
+sharding layout; there is no hand-written collective code, matching the
+reference's "no repo-level collectives" design at the TPU-native level
+(SURVEY.md §2.4).
+
+Notable deviations from the reference, by design:
+- no per-step `gc.collect()`/`empty_cache()` (reference anti-pattern,
+  train.py:74-76);
+- causal/padding masks are built inside the jitted step (the reference builds
+  the padding mask on host each step, train.py:61).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adt_str_tpu.config import ModelConfig
+from adt_str_tpu.models import adt
+
+Params = dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(config: ModelConfig, tx: optax.GradientTransformation):
+    """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
+
+    `batch`: {"wavs": (B, samples) f32, "tokens": (B, T) i32,
+    "token_lengths": (B,) i32}. Token lengths follow the reference collate
+    convention (apply `adt.collate_token_lengths` host- or device-side first).
+    """
+
+    def loss_fn(params, batch, rng):
+        return adt.forward_loss(
+            params,
+            batch["wavs"],
+            batch["tokens"],
+            batch["token_lengths"],
+            config,
+            rng=rng,
+            train=True,
+        )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: Params, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_eval_step(config: ModelConfig):
+    """Jitted teacher-forced eval loss (reference ADTTrainer.evaluate,
+    train.py:80-141)."""
+
+    @jax.jit
+    def step(params: Params, batch: Params):
+        return adt.forward_loss(
+            params,
+            batch["wavs"],
+            batch["tokens"],
+            batch["token_lengths"],
+            config,
+            rng=None,
+            train=False,
+        )
+
+    return step

@@ -1,0 +1,85 @@
+"""Optimizer + LR schedule.
+
+Parity with the reference training arguments (`train.py:192-249`):
+
+- AdamW (torch defaults: b1=0.9, b2=0.999, eps=1e-8), weight decay with the HF
+  Trainer exclusion rule (no decay on biases or LayerNorm parameters);
+- linear warmup over `warmup_ratio * total_steps`;
+- `cosine`: cosine decay to 0 (HF default);
+- `cosine_warmup_with_min_lr`: cosine decay from base LR to `min_learning_rate`
+  where the *last training step* lands exactly on the floor (the reference's
+  custom scheduler, selected when `min_learning_rate > 0`, train.py:202-216);
+- global-norm gradient clipping (`max_grad_norm`);
+- gradient accumulation via `optax.MultiSteps` (train.py:239).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adt_str_tpu.config import TrainingConfig
+
+
+def warmup_cosine_schedule(
+    base_lr: float,
+    total_steps: int,
+    warmup_ratio: float = 0.1,
+    min_lr: Optional[float] = None,
+) -> optax.Schedule:
+    warmup_steps = int(total_steps * warmup_ratio)
+    floor = float(min_lr) if (min_lr is not None and min_lr > 0) else 0.0
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(warmup_steps, 1)
+        # progress hits 1.0 exactly at the final step => LR == floor there
+        denom = jnp.maximum(total_steps - 1 - warmup_steps, 1)
+        progress = jnp.clip((step - warmup_steps) / denom, 0.0, 1.0)
+        cosine = floor + (base_lr - floor) * 0.5 * (1.0 + jnp.cos(math.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cosine)
+
+    return schedule
+
+
+def decay_mask(params: Any) -> Any:
+    """HF Trainer rule: decay everything except biases and LayerNorm params.
+
+    In this params tree LayerNorm leaves are named scale/bias and biases are
+    named `b`; everything else (w, embedding) decays.
+    """
+
+    def mask_fn(path, leaf):
+        names = {getattr(k, "key", None) for k in path}
+        return not ({"b", "bias", "scale"} & names)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(
+    config: TrainingConfig, total_steps: int, params: Any
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    schedule = warmup_cosine_schedule(
+        base_lr=float(config.learning_rate),
+        total_steps=total_steps,
+        warmup_ratio=config.warmup_ratio,
+        min_lr=config.min_learning_rate,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(float(config.max_grad_norm)),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=float(config.weight_decay),
+            mask=decay_mask(params),
+        ),
+    )
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+    return tx, schedule

@@ -1,0 +1,138 @@
+"""Training-step tests: loss decreases; DP/TP sharded step runs on the
+virtual 8-device CPU mesh and matches the single-device result."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adt_str_tpu.config import ModelConfig, TrainingConfig
+from adt_str_tpu.models import adt
+from adt_str_tpu.parallel import mesh as mesh_lib
+from adt_str_tpu.parallel.train_step import init_train_state, make_train_step
+from adt_str_tpu.training.optimizer import make_optimizer, warmup_cosine_schedule
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        sample_rate=4000,
+        win_length=256,
+        time_res=0.01,
+        input_sec=0.64,
+        enc_layers=1,
+        dec_layers=1,
+        nhead=2,
+        d_query=16,
+        dropout=0.0,
+        tgt_vocab_size=64,
+        n_mels=16,
+        compute_dtype="float32",
+        max_positions=64,
+    )
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+def make_batch(cfg, B=8, T=12, seed=0):
+    rng = np.random.default_rng(seed)
+    wave = rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32) * 0.1
+    tokens = np.full((B, T), 1, dtype=np.int32)
+    tokens[:, 0] = 2
+    for i in range(B):
+        n = rng.integers(2, T - 1)
+        tokens[i, 1:n] = rng.integers(4, 40, n - 1)
+        tokens[i, n] = 3
+    lengths = (tokens != 1).sum(axis=1).astype(np.int32)
+    return {
+        "wavs": jnp.asarray(wave),
+        "tokens": jnp.asarray(tokens),
+        "token_lengths": jnp.asarray(adt.collate_token_lengths(jnp.asarray(lengths))),
+    }
+
+
+def test_loss_decreases():
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainingConfig(learning_rate=3e-3, warmup_ratio=0.0, max_grad_norm=1.0)
+    tx, _ = make_optimizer(tcfg, total_steps=50, params=params)
+    step = make_train_step(cfg, tx)
+    state = init_train_state(params, tx)
+    batch = make_batch(cfg)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+    assert np.isfinite(losses).all()
+
+
+def test_sharded_step_matches_single_device():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must provide 8 virtual CPU devices"
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    tx, _ = make_optimizer(tcfg, total_steps=10, params=params)
+    batch = make_batch(cfg, B=8)
+
+    # 4x2 data x model mesh
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    sharded_params = mesh_lib.shard_params(mesh, adt.init_params(jax.random.PRNGKey(0), cfg))
+    sharded_batch = mesh_lib.shard_batch(mesh, batch)
+
+    # gradients agree across layouts to fp32 numerical noise (Adam's
+    # sqrt-normalization amplifies that noise in the updated params, so the
+    # grads — not post-update params — are the equivalence check)
+    def grads_of(p, b):
+        return jax.grad(
+            lambda pp: adt.forward_loss(
+                pp, b["wavs"], b["tokens"], b["token_lengths"], cfg,
+                rng=jax.random.PRNGKey(7), train=True,
+            )
+        )(p)
+
+    g1 = grads_of(params, batch)
+    g2 = grads_of(sharded_params, sharded_batch)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    # full step runs under both layouts with identical loss (donates params)
+    step = make_train_step(cfg, tx)
+    state1, m1 = step(init_train_state(params, tx), batch, jax.random.PRNGKey(7))
+    step2 = make_train_step(cfg, tx)
+    state2, m2 = step2(
+        init_train_state(sharded_params, tx), sharded_batch, jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+
+
+def test_warmup_cosine_min_lr_schedule():
+    sched = warmup_cosine_schedule(1e-3, total_steps=100, warmup_ratio=0.1, min_lr=1e-5)
+    # warmup: step 0 -> 0, step 10 -> base
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    # last step lands exactly on the floor (reference cosine_warmup_with_min_lr)
+    np.testing.assert_allclose(float(sched(99)), 1e-5, rtol=1e-6)
+    # monotone decreasing after warmup
+    vals = [float(sched(s)) for s in range(10, 100)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_schedule_without_min_lr_decays_to_zero():
+    sched = warmup_cosine_schedule(1e-3, total_steps=100, warmup_ratio=0.1, min_lr=None)
+    assert float(sched(99)) < 1e-6
+
+
+def test_decay_mask_excludes_norm_and_bias():
+    from adt_str_tpu.training.optimizer import decay_mask
+
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    mask = decay_mask(params)
+    assert mask["project_to_mel"]["w"] is True
+    assert mask["project_to_mel"]["b"] is False
+    assert mask["encoder"]["final_ln"]["scale"] is False
+    assert mask["decoder"]["embedding"] is True
