@@ -1,0 +1,209 @@
+"""On-device synthesizer tests: bank, timbre sampling, rendering, FX."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adt_str_tpu.config import SynthConfig
+from adt_str_tpu.synth import fx
+from adt_str_tpu.synth.bank import (
+    build_bank,
+    load_bank_hdf5,
+    make_test_bank,
+    n_allowed_bins,
+    save_bank_hdf5,
+)
+from adt_str_tpu.synth.render import (
+    SynthStatics,
+    class_gain_lut,
+    pad_notes,
+    render_batch,
+    render_segment,
+    vel_to_vol,
+)
+
+SR = 8000
+PITCHES = [35, 38, 42, 48]
+
+
+@pytest.fixture(scope="module")
+def bank():
+    rng = np.random.default_rng(0)
+    return make_test_bank(rng, PITCHES, sample_rate=SR, max_len=SR // 2)
+
+
+@pytest.fixture(scope="module")
+def statics(bank):
+    return SynthStatics.from_bank(bank)
+
+
+def cfg(**kw):
+    d = dict(sample_rate=SR, input_sec=1.28, win_length=256, time_res=0.01,
+             use_fx_prob=0.0, mixup_range=0.5, similarity_threshold=0.8)
+    d.update(kw)
+    return SynthConfig(**d)
+
+
+def test_n_allowed_bins():
+    assert n_allowed_bins(1.0) == 1  # gold only
+    assert n_allowed_bins(0.9) == 2
+    assert n_allowed_bins(0.8) == 3
+    assert n_allowed_bins(0.85) == 3  # floored to 0.8
+    assert n_allowed_bins(0.0) == 11
+
+
+def test_vel_to_vol_matches_reference_curve():
+    # reference: min 0.1 + 0.9 * (6^(v/127) - 1) / 5; 0 for velocity 0
+    assert float(vel_to_vol(0.0)) == 0.0
+    np.testing.assert_allclose(float(vel_to_vol(127.0)), 1.0, rtol=1e-6)
+    v = 64.0
+    expect = 0.1 + 0.9 * (6 ** (v / 127) - 1) / 5
+    np.testing.assert_allclose(float(vel_to_vol(v)), expect, rtol=1e-6)
+
+
+def test_class_gain_lut():
+    lut = class_gain_lut()
+    assert lut[35] == 1.0  # BD
+    assert lut[42] == pytest.approx(0.7)  # HH
+    assert lut[48] == pytest.approx(0.7)  # ride -> CY+RD
+    assert lut[38] == 1.0  # SD
+
+
+def test_render_basic(statics):
+    c = cfg()
+    notes, mask = pad_notes(
+        np.array([[0.1, 0.2, 35, 100], [0.5, 0.6, 42, 80]], dtype=np.float32), 16
+    )
+    wav = render_segment(
+        statics, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(0),
+        chunk_samples=c.chunk_samples, sample_rate=SR,
+        mixup_range=0.5, use_fx_prob=0.0, n_allowed=3,
+    )
+    wav = np.asarray(wav)
+    assert wav.shape == (c.chunk_samples,)
+    # silence before the first onset, energy after it
+    first = int(0.1 * SR)
+    assert np.abs(wav[:first]).max() == 0.0
+    assert np.abs(wav[first:]).max() > 0.0
+    # peak-normalized to the master gain vel_to_vol(100)
+    np.testing.assert_allclose(
+        np.abs(wav).max(), float(vel_to_vol(100.0)), rtol=1e-5
+    )
+
+
+def test_render_empty_is_silent(statics):
+    c = cfg()
+    notes, mask = pad_notes(np.zeros((0, 4), dtype=np.float32), 16)
+    wav = np.asarray(
+        render_segment(
+            statics, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(0),
+            chunk_samples=c.chunk_samples, sample_rate=SR,
+        )
+    )
+    assert (wav == 0).all()
+
+
+def test_render_clips_overrun(statics, bank):
+    """A note near the end must clip at the segment boundary, not error."""
+    c = cfg()
+    onset = c.input_sec - 0.05
+    notes, mask = pad_notes(
+        np.array([[onset, onset + 0.01, 38, 100]], dtype=np.float32), 8
+    )
+    wav = np.asarray(
+        render_segment(
+            statics, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(1),
+            chunk_samples=c.chunk_samples, sample_rate=SR, use_fx_prob=0.0,
+        )
+    )
+    assert wav.shape == (c.chunk_samples,)
+    assert np.abs(wav[int(onset * SR) :]).max() > 0
+
+
+def test_render_batch_shapes(statics):
+    c = cfg()
+    B = 4
+    notes = np.zeros((B, 8, 4), dtype=np.float32)
+    mask = np.zeros((B, 8), dtype=bool)
+    for i in range(B):
+        notes[i, 0] = [0.2, 0.3, 38, 90]
+        mask[i, 0] = True
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    wavs = np.asarray(
+        render_batch(statics, jnp.asarray(notes), jnp.asarray(mask), keys, c)
+    )
+    assert wavs.shape == (B, c.chunk_samples)
+    assert (np.abs(wavs).max(axis=1) > 0).all()
+    # different PRNG keys -> different timbres (not bit-identical rows)
+    assert not np.array_equal(wavs[0], wavs[1])
+
+
+def test_pad_notes_validates():
+    with pytest.raises(ValueError):
+        pad_notes(np.array([[0.1, 0.2, 99, 100]], dtype=np.float32), 8)
+    with pytest.raises(ValueError):
+        pad_notes(np.array([[0.3, 0.1, 38, 100]], dtype=np.float32), 8)
+
+
+def test_bank_hdf5_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    entries = {
+        38: {"gold": [rng.normal(size=100).astype(np.float32)],
+             "90-80": [rng.normal(size=50).astype(np.float32)] * 2},
+        42: {"gold": [rng.normal(size=80).astype(np.float32)]},
+    }
+    path = str(tmp_path / "bank@8000.hdf5")
+    save_bank_hdf5(path, entries, SR)
+    bank = load_bank_hdf5(path, max_len=128)
+    assert bank.n_samples == 4
+    assert bank.bin_count[38, 0] == 1  # gold
+    assert bank.bin_count[38, 2] == 2  # 90-80
+    assert bank.bin_count[42, 0] == 1
+    assert bank.pitches() == [38, 42]
+    np.testing.assert_allclose(
+        bank.waveforms[bank.bin_offset[38, 0], :100], entries[38]["gold"][0]
+    )
+
+
+def test_fx_chain_runs_and_preserves_shape():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=SR).astype(np.float32) * 0.3)
+    y = fx.random_fx_chain(x, SR, jax.random.PRNGKey(0), 1.0, 1.0, 1.0)
+    y = np.asarray(y)
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+
+
+def test_compressor_reduces_loud_parts():
+    t = np.arange(SR) / SR
+    x = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    x[: SR // 2] *= 0.05  # quiet half, loud half
+    y = np.asarray(fx.compressor(jnp.asarray(x), SR, threshold_db=-20.0,
+                                 ratio=8.0, attack_ms=1.0, release_ms=50.0))
+    loud_in = np.abs(x[SR // 2 + 500 :]).max()
+    loud_out = np.abs(y[SR // 2 + 500 :]).max()
+    quiet_out = np.abs(y[1000 : SR // 2]).max()
+    assert loud_out < loud_in * 0.7  # gain reduction on loud section
+    assert quiet_out > 0.03  # quiet section mostly untouched
+
+
+def test_limiter_caps_peaks():
+    t = np.arange(SR) / SR
+    x = (np.sin(2 * np.pi * 200 * t) * 1.0).astype(np.float32)
+    y = np.asarray(fx.limiter(jnp.asarray(x), SR, threshold_db=-6.0))
+    assert np.abs(y).max() < np.abs(x).max()
+
+
+def test_ema_scan_matches_loop():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=200).astype(np.float32)
+    c = 0.9
+    y = np.asarray(fx.ema_scan(jnp.asarray(x), c))
+    ref = np.zeros_like(x)
+    acc = 0.0
+    for i, v in enumerate(x):
+        acc = c * acc + (1 - c) * v
+        ref[i] = acc
+    np.testing.assert_allclose(y, ref, atol=1e-4)
