@@ -1,0 +1,348 @@
+"""Parquet-backed datasets + static-shape host input pipeline.
+
+Capability parity with `data_modules/train_dataset.py` / `eval_dataset.py`,
+redesigned TPU-first:
+
+- every example is emitted with *static shapes* (notes padded to `max_notes`,
+  tokens padded to `max_tokens` with PAD=1) so batches feed a single compiled
+  XLA program — no dynamic `pad_sequence` (reference collate,
+  train_dataset.py:41-56);
+- the Lakh path emits *note arrays*, not audio: synthesis happens on device
+  (`adt_str_tpu.synth.render`), unlike the reference's per-item CPU synthesis
+  in dataloader workers (train_dataset.py:228, the reference's throughput
+  bottleneck);
+- randomness (empty-segment injection `empty_tokens_percentage`,
+  train_dataset.py:214-215; random-velocity augmentation
+  `random_velocity_prob`, train_dataset.py:217-224) is threaded through an
+  explicit numpy Generator instead of ambient `random.random()`;
+- eval datasets reproduce the ENST/MDB filter semantics (minus-one, split
+  tables, drummers, demucs flag, eval_dataset.py:90-239) over pyarrow tables.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from adt_str_tpu.config import EvalDataConfig, TrainDataConfig
+from adt_str_tpu.domain.tokenizer import MidiTokenizer
+from adt_str_tpu.synth.render import pad_notes
+from adt_str_tpu.utils.audio_io import normalize, resample
+
+# fixed ENST accompaniment splits (eval_dataset.py:93-164)
+ENST_SPLITS = {
+    0: [
+        "143_MIDI-minus-one_fusion-125_sticks", "107_minus-one_salsa_sticks",
+        "108_minus-one_rock-60s_sticks", "109_minus-one_metal_sticks",
+        "110_minus-one_musette_brushes", "111_minus-one_funky_rods",
+        "112_minus-one_funk_rods", "113_minus-one_charleston_sticks",
+        "114_minus-one_celtic-rock_brushes", "115_minus-one_bossa_brushes",
+        "121_MIDI-minus-one_bigband_brushes", "123_MIDI-minus-one_blues-102_sticks",
+        "125_MIDI-minus-one_country-120_brushes", "127_MIDI-minus-one_disco-108_sticks",
+        "129_MIDI-minus-one_funk-101_sticks", "131_MIDI-minus-one_grunge_sticks",
+        "133_MIDI-minus-one_nu-soul_sticks", "135_MIDI-minus-one_rock-113_sticks",
+        "137_MIDI-minus-one_rock'n'roll-188_sticks",
+        "139_MIDI-minus-one_soul-120-marvin-gaye_sticks",
+        "141_MIDI-minus-one_soul-98_sticks",
+    ],
+    1: [
+        "152_MIDI-minus-one_fusion-125_sticks", "115_minus-one_salsa_sticks",
+        "116_minus-one_rock-60s_sticks", "117_minus-one_metal_sticks",
+        "118_minus-one_musette_brushes", "119_minus-one_funky_sticks",
+        "120_minus-one_funk_sticks", "121_minus-one_charleston_sticks",
+        "122_minus-one_celtic-rock_sticks",
+        "123_minus-one_celtic-rock-better-take_sticks",
+        "124_minus-one_bossa_sticks", "130_MIDI-minus-one_bigband_sticks",
+        "132_MIDI-minus-one_blues-102_sticks", "134_MIDI-minus-one_country-120_sticks",
+        "136_MIDI-minus-one_disco-108_sticks", "138_MIDI-minus-one_funk-101_sticks",
+        "140_MIDI-minus-one_grunge_sticks", "142_MIDI-minus-one_nu-soul_sticks",
+        "144_MIDI-minus-one_rock-113_sticks",
+        "146_MIDI-minus-one_rock'n'roll-188_sticks",
+        "148_MIDI-minus-one_soul-120-marvin-gaye_sticks",
+        "150_MIDI-minus-one_soul-98_sticks",
+    ],
+    2: [
+        "162_MIDI-minus-one_fusion-125_sticks", "126_minus-one_salsa_sticks",
+        "127_minus-one_rock-60s_sticks", "128_minus-one_metal_sticks",
+        "129_minus-one_musette_sticks", "130_minus-one_funky_sticks",
+        "131_minus-one_funk_sticks", "132_minus-one_charleston_sticks",
+        "133_minus-one_celtic-rock_sticks", "134_minus-one_bossa_sticks",
+        "140_MIDI-minus-one_bigband_sticks", "142_MIDI-minus-one_blues-102_sticks",
+        "144_MIDI-minus-one_country-120_sticks", "146_MIDI-minus-one_disco-108_sticks",
+        "148_MIDI-minus-one_funk-101_sticks", "150_MIDI-minus-one_grunge_sticks",
+        "152_MIDI-minus-one_nu-soul_sticks", "154_MIDI-minus-one_rock-113_sticks",
+        "156_MIDI-minus-one_rock'n'roll-188_sticks",
+        "158_MIDI-minus-one_soul-120-marvin-gaye_sticks",
+        "160_MIDI-minus-one_soul-98_sticks",
+    ],
+}
+
+# eval-config genre splits (eval_dataset.py:192-222)
+MDB_SPLITS = {
+    0: ["MusicDelta_Punk", "MusicDelta_CoolJazz", "MusicDelta_Disco",
+        "MusicDelta_SwingJazz", "MusicDelta_Rockabilly", "MusicDelta_Gospel",
+        "MusicDelta_BebopJazz"],
+    1: ["MusicDelta_FunkJazz", "MusicDelta_FreeJazz", "MusicDelta_Reggae",
+        "MusicDelta_LatinJazz", "MusicDelta_Britpop", "MusicDelta_FusionJazz",
+        "MusicDelta_Shadows", "MusicDelta_80sRock"],
+    2: ["MusicDelta_Beatles", "MusicDelta_Grunge", "MusicDelta_Zeppelin",
+        "MusicDelta_ModalJazz", "MusicDelta_Country1", "MusicDelta_SpeedMetal",
+        "MusicDelta_Rock", "MusicDelta_Hendrix"],
+}
+
+
+def _notes_from_bytes(binary: bytes) -> np.ndarray:
+    return np.frombuffer(binary, dtype=np.float32).reshape(-1, 4).copy()
+
+
+def _read_parquet_files(paths: list[str], columns: list[str]) -> dict[str, list]:
+    data: dict[str, list] = {c: [] for c in columns}
+    for p in sorted(paths):
+        table = pq.read_table(p, columns=columns)
+        for c in columns:
+            data[c].extend(table.column(c).to_pylist())
+    return data
+
+
+def _expand_dataset_path(path: str) -> list[str]:
+    """A file, a glob, or a directory of parquet files."""
+    if os.path.isdir(path):
+        return sorted(globlib.glob(os.path.join(path, "*.parquet")))
+    if any(ch in path for ch in "*?["):
+        return sorted(globlib.glob(path))
+    return [path]
+
+
+class LakhDataset:
+    """Lakh drum-note shards -> (notes, mask, tokens) examples
+    (`LakhDataset`, train_dataset.py:178-229; audio synthesis moves on device)."""
+
+    def __init__(
+        self,
+        config: TrainDataConfig,
+        tokenizer: MidiTokenizer,
+        max_notes: int = 128,
+    ):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_notes = max_notes
+        partitions = config.partitions
+        if partitions is None:
+            files = _expand_dataset_path(config.dataset_path)
+        else:
+            files = [os.path.join(config.dataset_path, f"{p}.parquet") for p in partitions]
+        data = _read_parquet_files(files, ["midi_id", "segment_number", "notes"])
+        self.notes_bytes: list[bytes] = data["notes"]
+        self.midi_ids: list[str] = data["midi_id"]
+
+    def __len__(self) -> int:
+        return len(self.notes_bytes)
+
+    def example(self, index: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
+        cfg, tok = self.config, self.tokenizer
+        if rng.random() < cfg.empty_tokens_percentage:
+            notes = np.zeros((0, 4), dtype=np.float32)
+        else:
+            notes = _notes_from_bytes(self.notes_bytes[index])
+            random_velocity = bool(cfg.random_velocity_prob) and (
+                rng.random() < cfg.random_velocity_prob
+            )
+            notes = tok.map_notes_to_Gm_custom(
+                notes, random_velocity=random_velocity, rng=rng
+            )
+        if len(notes) == 0:
+            tokens = tok.empty_adt_tokens()
+            padded = np.full(cfg.max_tokens, tok.pad_token, dtype=np.int64)
+            padded[: len(tokens)] = tokens
+            length = len(tokens)
+            note_arr = np.zeros((self.max_notes, 4), dtype=np.float32)
+            note_mask = np.zeros(self.max_notes, dtype=bool)
+        else:
+            # token stream and rendered notes must stay consistent: truncate
+            # notes to max_notes *and* to what fits in max_tokens
+            n_fit = (cfg.max_tokens - 2) // tok.tokens_per_note
+            notes = notes[: min(self.max_notes, n_fit)]
+            padded, length = tok.encode_padded(notes, cfg.max_tokens)
+            note_arr, note_mask = pad_notes(notes, self.max_notes)
+        return {
+            "notes": note_arr,
+            "note_mask": note_mask,
+            "tokens": padded,
+            "token_lengths": np.int64(length),
+        }
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+        drop_last: bool = True,
+    ) -> Iterator[dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            examples = [self.example(int(i), rng) for i in idx]
+            yield collate(examples)
+
+
+def collate(examples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    """Stack static-shape examples; apply the reference collate length quirk
+    (lengths equal to the batch max decremented by one,
+    train_dataset.py:47-51)."""
+    batch = {
+        key: np.stack([e[key] for e in examples]) for key in examples[0]
+    }
+    lengths = batch["token_lengths"].astype(np.int64)
+    batch["token_lengths"] = lengths - (lengths == lengths.max()).astype(np.int64)
+    return batch
+
+
+class TMIDTDataset:
+    """Real-audio training shards (TMIDTDataset, train_dataset.py:99-175)."""
+
+    def __init__(self, config: TrainDataConfig, tokenizer: MidiTokenizer):
+        self.config = config
+        self.tokenizer = tokenizer
+        files = _expand_dataset_path(config.dataset_path)
+        data = _read_parquet_files(files, ["audio_id", "audio", "sample_rate", "notes"])
+        self.audio_bytes = data["audio"]
+        self.sample_rates = data["sample_rate"]
+        self.notes_bytes = data["notes"]
+
+    def __len__(self) -> int:
+        return len(self.audio_bytes)
+
+    def _audio(self, index: int) -> np.ndarray:
+        wave = np.frombuffer(self.audio_bytes[index], dtype=np.float32).copy()
+        sr = int(self.sample_rates[index])
+        if sr != self.config.sample_rate:
+            wave = resample(wave, sr, self.config.sample_rate)
+        wave = wave / (np.abs(wave).max() + 1e-8)  # train_dataset.py:147
+        out = np.zeros(self.config.chunk_samples, dtype=np.float32)
+        n = min(len(wave), len(out))
+        out[:n] = wave[:n]
+        return out
+
+    def example(self, index: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
+        cfg, tok = self.config, self.tokenizer
+        if rng.random() < cfg.empty_tokens_percentage:
+            wave = np.zeros(cfg.chunk_samples, dtype=np.float32)
+            tokens = tok.empty_adt_tokens()
+        else:
+            wave = self._audio(index)
+            notes = _notes_from_bytes(self.notes_bytes[index])
+            random_velocity = bool(cfg.random_velocity_prob) and (
+                rng.random() < cfg.random_velocity_prob
+            )
+            notes = tok.map_notes_to_Gm_custom(
+                notes, random_velocity=random_velocity, rng=rng
+            )
+            n_fit = (cfg.max_tokens - 2) // tok.tokens_per_note
+            padded, length = tok.encode_padded(notes[:n_fit], cfg.max_tokens)
+            return {"wavs": wave, "tokens": padded, "token_lengths": np.int64(length)}
+        padded = np.full(cfg.max_tokens, tok.pad_token, dtype=np.int64)
+        padded[: len(tokens)] = tokens
+        return {"wavs": wave, "tokens": padded, "token_lengths": np.int64(len(tokens))}
+
+    def batches(self, batch_size, rng, shuffle=True, drop_last=True):
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            yield collate([self.example(int(i), rng) for i in idx])
+
+
+class EvalDataset:
+    """Base eval dataset: (resampled+normalized audio, GM-custom-mapped notes)
+    (eval_dataset.py:49-79)."""
+
+    COLUMNS = ["audio_id", "audio", "sample_rate", "notes"]
+
+    def __init__(self, config: EvalDataConfig, tokenizer: MidiTokenizer):
+        self.config = config
+        self.tokenizer = tokenizer
+        files = _expand_dataset_path(config.dataset_path)
+        self.data = _read_parquet_files(files, self.COLUMNS)
+        self._apply_filters()
+
+    def _apply_filters(self) -> None:
+        pass
+
+    def _keep(self, keep: list[bool]) -> None:
+        for key in self.data:
+            self.data[key] = [v for v, k in zip(self.data[key], keep) if k]
+
+    def __len__(self) -> int:
+        return len(self.data["audio"])
+
+    def __getitem__(self, index: int) -> tuple[np.ndarray, np.ndarray]:
+        audio = np.frombuffer(self.data["audio"][index], dtype=np.float32).copy()
+        sr = int(self.data["sample_rate"][index])
+        if sr != self.config.sample_rate:
+            audio = resample(audio, sr, self.config.sample_rate)
+        audio = normalize(audio)
+        notes = _notes_from_bytes(self.data["notes"][index])
+        if len(notes):
+            notes = self.tokenizer.map_notes_to_Gm_custom(notes)
+        return audio.astype(np.float32), notes
+
+    def batches(self, batch_size: int) -> Iterator[dict[str, list]]:
+        """Eval collate returns raw lists (eval_dataset.py:40-46)."""
+        for b in range(-(-len(self) // batch_size)):
+            items = [self[i] for i in range(b * batch_size, min((b + 1) * batch_size, len(self)))]
+            yield {"wavs": [it[0] for it in items], "notes": [it[1] for it in items]}
+
+
+class ENSTDataset(EvalDataset):
+    COLUMNS = ["audio_id", "drummer", "audio", "sample_rate", "notes"]
+
+    def _apply_filters(self) -> None:
+        cfg = self.config
+        if cfg.minus_one:
+            self._keep(["minus-one" in aid for aid in self.data["audio_id"]])
+        splits = _normalize_splits(cfg.splits)
+        if splits is not None:
+            names = [n for s in splits for n in ENST_SPLITS[s]]
+            self._keep(
+                [any(n in aid for n in names) for aid in self.data["audio_id"]]
+            )
+        if cfg.drummers is not None:
+            self._keep(
+                [
+                    any(str(d) in drummer for d in cfg.drummers)
+                    for drummer in self.data["drummer"]
+                ]
+            )
+
+
+class MDBDataset(EvalDataset):
+    COLUMNS = ["audio_id", "audio", "sample_rate", "notes", "split", "is_demucs_separated"]
+
+    def _apply_filters(self) -> None:
+        cfg = self.config
+        splits = _normalize_splits(cfg.splits)
+        if splits is not None:
+            names = [n for s in splits for n in MDB_SPLITS[s]]
+            self._keep(
+                [any(n in aid for n in names) for aid in self.data["audio_id"]]
+            )
+        self._keep(
+            [bool(f) == bool(cfg.demucs_separated) for f in self.data["is_demucs_separated"]]
+        )
+
+
+def _normalize_splits(splits) -> Optional[list[int]]:
+    if splits is None:
+        return None
+    if isinstance(splits, int):
+        return [splits]
+    return list(splits)

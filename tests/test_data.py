@@ -1,0 +1,210 @@
+"""Data layer tests: MIDI I/O round-trip, Lakh parser -> parquet, datasets."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adt_str_tpu.config import EvalDataConfig, SharedConfig, TokenizerConfig, TrainDataConfig
+from adt_str_tpu.data.datasets import ENSTDataset, LakhDataset, MDBDataset, collate
+from adt_str_tpu.data.lakh import LakhMidiParser
+from adt_str_tpu.domain.tokenizer import MidiTokenizer
+from adt_str_tpu.utils.midi_io import read_midi, write_midi
+
+
+def test_midi_roundtrip(tmp_path):
+    notes = np.array(
+        [
+            [0.0, 0.1, 36, 100],
+            [0.5, 0.6, 38, 90],
+            [1.0, 1.1, 42, 80],
+            [2.5, 2.6, 49, 70],
+        ],
+        dtype=np.float32,
+    )
+    path = tmp_path / "test.mid"
+    write_midi(path, notes, is_drum=True)
+    instruments = read_midi(path)
+    assert len(instruments) == 1
+    inst = instruments[0]
+    assert inst.is_drum
+    parsed = np.array(sorted(inst.notes))
+    np.testing.assert_allclose(parsed[:, 0], notes[:, 0], atol=2e-3)
+    np.testing.assert_array_equal(parsed[:, 2], notes[:, 2])
+    np.testing.assert_array_equal(parsed[:, 3], notes[:, 3])
+
+
+def test_midi_non_drum_channel(tmp_path):
+    notes = np.array([[0.0, 0.5, 60, 100]], dtype=np.float32)
+    path = tmp_path / "melodic.mid"
+    write_midi(path, notes, is_drum=False, program=24)
+    inst = read_midi(path)[0]
+    assert not inst.is_drum
+    assert inst.program == 24
+
+
+@pytest.fixture
+def lakh_tree(tmp_path):
+    """Tiny lmd_matched-style tree: partition A with 2 midi files."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "lmd"
+    for name in ["TRAAA123", "TRAAB456"]:
+        d = root / "A" / name
+        d.mkdir(parents=True)
+        n = 20
+        onsets = np.sort(rng.uniform(0, 6.0, n))
+        pitches = rng.choice([36, 38, 42, 46, 49], n)
+        vels = rng.integers(40, 127, n)
+        notes = np.stack([onsets, onsets + 0.1, pitches, vels], axis=1)
+        write_midi(d / "deadbeef.mid", notes, is_drum=True)
+    return root
+
+
+def test_lakh_parser(lakh_tree, tmp_path):
+    parser = LakhMidiParser(
+        midi_root=str(lakh_tree),
+        dump_path=str(tmp_path / "dump"),
+        shared=SharedConfig(),
+        partitions=["A"],
+    )
+    [out] = parser.create_dataset()
+    table = pq.read_table(out)
+    assert table.num_rows > 0
+    assert set(table.column_names) == {"midi_id", "segment_number", "notes"}
+    notes = np.frombuffer(table.column("notes")[0].as_py(), dtype=np.float32).reshape(-1, 4)
+    assert (notes[:, 2] >= 35).all() and (notes[:, 2] <= 81).all()
+    assert (notes[:, 0] >= 0).all() and (notes[:, 0] < 2.56).all()
+
+
+def test_lakh_dataset_and_collate(lakh_tree, tmp_path):
+    parser = LakhMidiParser(
+        midi_root=str(lakh_tree), dump_path=str(tmp_path / "dump"),
+        shared=SharedConfig(), partitions=["A"],
+    )
+    parser.create_dataset()
+    cfg = TrainDataConfig(
+        dataset_path=str(tmp_path / "dump" / "lakh_matched"),
+        partitions=["A"],
+        empty_tokens_percentage=0.0,
+        random_velocity_prob=0.5,
+        max_tokens=128,
+    )
+    tok = MidiTokenizer(TokenizerConfig())
+    ds = LakhDataset(cfg, tok, max_notes=32)
+    assert len(ds) > 0
+    rng = np.random.default_rng(0)
+    ex = ds.example(0, rng)
+    assert ex["notes"].shape == (32, 4)
+    assert ex["tokens"].shape == (128,)
+    # tokens match the mapped note content: decode and compare pitch set
+    decoded = tok.decode(tok.truncate_at_eos(ex["tokens"]))
+    n_valid = int(ex["note_mask"].sum())
+    assert decoded.shape[0] == n_valid
+    np.testing.assert_array_equal(np.sort(decoded[:, 2]), np.sort(ex["notes"][:n_valid, 2]))
+
+    batches = list(ds.batches(2, rng))
+    assert len(batches) >= 1
+    b = batches[0]
+    assert b["tokens"].shape == (2, 128)
+    assert b["notes"].shape == (2, 32, 4)
+
+
+def test_empty_injection(lakh_tree, tmp_path):
+    parser = LakhMidiParser(
+        midi_root=str(lakh_tree), dump_path=str(tmp_path / "dump"),
+        shared=SharedConfig(), partitions=["A"],
+    )
+    parser.create_dataset()
+    cfg = TrainDataConfig(
+        dataset_path=str(tmp_path / "dump" / "lakh_matched"),
+        partitions=["A"], empty_tokens_percentage=1.0, max_tokens=64,
+    )
+    tok = MidiTokenizer(TokenizerConfig())
+    ds = LakhDataset(cfg, tok)
+    ex = ds.example(0, np.random.default_rng(0))
+    assert ex["tokens"][:3].tolist() == [2, 0, 3]
+    assert not ex["note_mask"].any()
+
+
+def _write_eval_parquet(path, rows, enst=True):
+    fields = [
+        pa.field("audio_id", pa.string()),
+        pa.field("audio", pa.binary()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("notes", pa.binary()),
+    ]
+    if enst:
+        fields.insert(1, pa.field("drummer", pa.string()))
+    else:
+        fields += [pa.field("split", pa.int32()), pa.field("is_demucs_separated", pa.bool_())]
+    pq.write_table(pa.table(rows, schema=pa.schema(fields)), path)
+
+
+def test_enst_dataset_filters(tmp_path):
+    rng = np.random.default_rng(0)
+    sr = 8000
+    audio = rng.normal(size=sr).astype(np.float32)
+    notes = np.array([[0.1, 0.2, 38, 100]], dtype=np.float32)
+    rows = {
+        "audio_id": [
+            "drummer_1_107_minus-one_salsa_sticks.wav",
+            "drummer_2_solo_blues.wav",
+        ],
+        "drummer": ["drummer_1", "drummer_2"],
+        "audio": [audio.tobytes()] * 2,
+        "sample_rate": [sr] * 2,
+        "notes": [notes.tobytes()] * 2,
+    }
+    path = str(tmp_path / "enst.parquet")
+    _write_eval_parquet(path, rows, enst=True)
+    tok = MidiTokenizer(TokenizerConfig(ADTOF_mapping=True))
+    cfg = EvalDataConfig(dataset_path=path, dataset_name="ENST", minus_one=True, sample_rate=sr)
+    ds = ENSTDataset(cfg, tok)
+    assert len(ds) == 1  # only the minus-one item survives
+    wav, n = ds[0]
+    assert np.abs(wav).max() <= 1.0 + 1e-6
+    assert n[0, 2] == 38  # SD under ADTOF
+
+    cfg2 = EvalDataConfig(dataset_path=path, dataset_name="ENST", minus_one=True,
+                          splits=[0], sample_rate=sr)
+    assert len(ENSTDataset(cfg2, tok)) == 1
+    cfg3 = EvalDataConfig(dataset_path=path, dataset_name="ENST", minus_one=True,
+                          drummers=[3], sample_rate=sr)
+    assert len(ENSTDataset(cfg3, tok)) == 0
+
+
+def test_mdb_dataset_filters(tmp_path):
+    sr = 8000
+    audio = np.zeros(sr, dtype=np.float32)
+    audio[0] = 1.0
+    notes = np.array([[0.1, 0.2, 35, 100]], dtype=np.float32)
+    rows = {
+        "audio_id": ["MusicDelta_Punk_Drum.wav", "MusicDelta_Reggae_Drum.wav"],
+        "audio": [audio.tobytes()] * 2,
+        "sample_rate": [sr] * 2,
+        "notes": [notes.tobytes()] * 2,
+        "split": [0, 1],
+        "is_demucs_separated": [False, True],
+    }
+    path = str(tmp_path / "mdb.parquet")
+    _write_eval_parquet(path, rows, enst=False)
+    tok = MidiTokenizer(TokenizerConfig())
+    cfg = EvalDataConfig(dataset_path=path, dataset_name="MDB",
+                         demucs_separated=False, sample_rate=sr)
+    assert len(MDBDataset(cfg, tok)) == 1
+    cfg2 = EvalDataConfig(dataset_path=path, dataset_name="MDB",
+                          demucs_separated=True, splits=[1], sample_rate=sr)
+    assert len(MDBDataset(cfg2, tok)) == 1
+    cfg3 = EvalDataConfig(dataset_path=path, dataset_name="MDB",
+                          demucs_separated=True, splits=[0], sample_rate=sr)
+    assert len(MDBDataset(cfg3, tok)) == 0
+
+
+def test_collate_quirk():
+    examples = [
+        {"tokens": np.zeros(8, dtype=np.int64), "token_lengths": np.int64(5)},
+        {"tokens": np.zeros(8, dtype=np.int64), "token_lengths": np.int64(7)},
+        {"tokens": np.zeros(8, dtype=np.int64), "token_lengths": np.int64(7)},
+    ]
+    b = collate(examples)
+    np.testing.assert_array_equal(b["token_lengths"], [5, 6, 6])
