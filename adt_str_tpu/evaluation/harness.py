@@ -1,0 +1,149 @@
+"""Evaluation harness: batched decode -> notes -> onset F-measure.
+
+Parity with `run_inference` (`eval.py:308-434`):
+
+- greedy (`model.sample`) or beam (`model.beam_search`) decoding selected by
+  config, BOS/EOS from the tokenizer;
+- batches whose longest waveform is < 1024 samples are skipped
+  (eval.py:356-357);
+- per item: truncate at first EOS/PAD (eval.py:379-381), tokenizer.decode,
+  velocity >= 0 filter, row-level np.unique dedup (eval.py:386-390);
+- aggregate + per-ADTOF-label metrics and the drum confusion matrix; metrics
+  go to `metrics.json`, the confusion matrix to `confusion_matrix.csv`.
+
+Deliberate divergence: the confusion CSV is written once at the end (and every
+50 items for monitoring) instead of being rewritten per item inside the hot
+loop (reference anti-pattern, eval.py:410-414).
+
+TPU design: waveforms are padded to the static `chunk_samples` length so every
+batch reuses one compiled decode program; the decoder runs with KV caches
+(`models/decode.py`) instead of the reference's full-prefix re-runs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from collections import defaultdict
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from adt_str_tpu.config import InferenceConfig, ModelConfig
+from adt_str_tpu.domain.tokenizer import MidiTokenizer
+from adt_str_tpu.evaluation.confusion import DrumConfusionMatrix
+from adt_str_tpu.evaluation.metrics import (
+    aggregate_metrics,
+    compute_metrics,
+    compute_per_label_metrics,
+    new_per_label_accumulator,
+)
+from adt_str_tpu.models import decode as decode_lib
+from adt_str_tpu.utils.mappings import ADTOF_LABEL_MAPPING, GM_REDUCED_NAME_CONVENTION
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_batch(wavs: list[np.ndarray], chunk_samples: int) -> np.ndarray:
+    out = np.zeros((len(wavs), chunk_samples), dtype=np.float32)
+    for i, w in enumerate(wavs):
+        n = min(len(w), chunk_samples)
+        out[i, :n] = w[:n]
+    return out
+
+
+def decode_tokens_to_notes(
+    tokenizer: MidiTokenizer, pred_tokens: np.ndarray
+) -> np.ndarray:
+    """EOS/PAD truncation + decode + vel>=0 filter + dedup (eval.py:377-390)."""
+    pred_tokens = tokenizer.truncate_at_eos(pred_tokens)
+    pred_notes = tokenizer.decode(pred_tokens)
+    if pred_notes.size:
+        pred_notes = pred_notes[pred_notes[:, 3] >= 0]
+        pred_notes = np.unique(pred_notes, axis=0)
+    return pred_notes.reshape(-1, 4) if pred_notes.size else np.zeros((0, 4), np.float32)
+
+
+def run_inference(
+    params,
+    model_config: ModelConfig,
+    dataset,
+    tokenizer: MidiTokenizer,
+    inference_config: InferenceConfig,
+    exclude_ref_empty: bool = False,
+) -> dict:
+    """-> combined metrics dict {"all": {...}, "<label>": {...}}."""
+    cfg = inference_config
+    max_len = max(2, int(cfg.max_length))
+    TP = FN = FP = 0
+    per_label = new_per_label_accumulator()
+    confusion = DrumConfusionMatrix(
+        ADTOF_LABEL_MAPPING if tokenizer.ADTOF_mapping else GM_REDUCED_NAME_CONVENTION
+    )
+    output_path = cfg.output_path
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+
+    n_items = 0
+    for batch in dataset.batches(cfg.batch_size):
+        gt_notes = batch["notes"]
+        raw_wavs = batch["wavs"]
+        if max(len(w) for w in raw_wavs) < 1024:
+            continue
+        wavs = _pad_batch(raw_wavs, model_config.chunk_samples)
+        if cfg.use_beam_search:
+            tokens_pred = decode_lib.beam_search_decode(
+                params,
+                jnp.asarray(wavs),
+                model_config,
+                beam_size=cfg.beam_size or 5,
+                max_length=max_len,
+                start_token=tokenizer.BOS_token,
+                end_token=tokenizer.EOS_token,
+            )
+        else:
+            tokens_pred = decode_lib.greedy_decode(
+                params,
+                jnp.asarray(wavs),
+                model_config,
+                max_length=max_len,
+                start_token=tokenizer.BOS_token,
+                end_token=tokenizer.EOS_token,
+            )
+        tokens_pred = np.asarray(tokens_pred)
+
+        for i in range(len(raw_wavs)):
+            gt = np.asarray(gt_notes[i]).reshape(-1, 4) if len(gt_notes[i]) else []
+            pred_notes = decode_tokens_to_notes(tokenizer, tokens_pred[i])
+
+            tp, fn, fp = compute_metrics(gt, pred_notes, exclude_ref_empty)
+            TP += tp
+            FN += fn
+            FP += fp
+            per_label = compute_per_label_metrics(
+                pred_notes, gt, per_label, exclude_ref_empty
+            )
+            confusion.update(
+                gt if len(gt) else [], pred_notes, exclude_ref_empty=exclude_ref_empty
+            )
+            n_items += 1
+            if output_path and n_items % 50 == 0:
+                confusion.to_csv(os.path.join(output_path, "confusion_matrix.csv"))
+        if cfg.max_samples and n_items >= cfg.max_samples:
+            break
+
+    combined: dict = defaultdict(dict)
+    for key, value in aggregate_metrics(TP, FN, FP).items():
+        combined["all"][key] = value
+    for label, m in per_label.items():
+        for key, value in aggregate_metrics(m["tp"], m["fn"], m["fp"]).items():
+            combined[label][key] = value
+
+    if output_path:
+        confusion.to_csv(os.path.join(output_path, "confusion_matrix.csv"))
+        with open(os.path.join(output_path, "metrics.json"), "w") as f:
+            json.dump(combined, f)
+    logger.info("eval items=%d TP=%d FN=%d FP=%d", n_items, TP, FN, FP)
+    return dict(combined)
