@@ -73,6 +73,50 @@ def make_train_step(config: ModelConfig, tx: optax.GradientTransformation):
     return step
 
 
+def make_synth_train_step(
+    config: ModelConfig,
+    synth_config,
+    statics,
+    tx: optax.GradientTransformation,
+):
+    """Training step with on-device synthesis fused in: one XLA program does
+    one-shot gathers + scatter-add rendering + FX + mel + transformer fwd/bwd +
+    AdamW. Replaces the reference's CPU dataloader-worker synthesis
+    (train_dataset.py:228 + synthetiser.py:255-292) — the audio never exists
+    on the host.
+
+    `batch`: {"notes": (B, MAX_NOTES, 4), "note_mask": (B, MAX_NOTES),
+    "tokens": (B, T), "token_lengths": (B,)}.
+    """
+    from adt_str_tpu.synth.render import render_batch
+
+    def loss_fn(params, batch, wavs, rng):
+        return adt.forward_loss(
+            params,
+            wavs,
+            batch["tokens"],
+            batch["token_lengths"],
+            config,
+            rng=rng,
+            train=True,
+        )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: Params, rng: jax.Array):
+        k_synth, k_model = jax.random.split(rng)
+        synth_keys = jax.random.split(k_synth, batch["notes"].shape[0])
+        wavs = render_batch(
+            statics, batch["notes"], batch["note_mask"], synth_keys, synth_config
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, wavs, k_model)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
 def make_eval_step(config: ModelConfig):
     """Jitted teacher-forced eval loss (reference ADTTrainer.evaluate,
     train.py:80-141)."""

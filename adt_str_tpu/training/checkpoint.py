@@ -1,0 +1,138 @@
+"""Checkpointing: orbax save/restore + auto-resume + safetensors export.
+
+Parity with the reference checkpoint behavior (SURVEY.md §5.4):
+
+- save every `save_every_n_steps` under `checkpoint-epoch-{E}-step-{S}`
+  (the reference's HF-Trainer directory pattern, `train.py:186`), plus a final
+  save (`train.py:323`);
+- `save_total_limit`-style GC keeping the newest `max_checkpoints`
+  (`train.py:232`);
+- auto-resume: newest `checkpoint-epoch-*-step-*` by mtime
+  (`train.py:182-190`) or an explicit `resume_from_checkpoint` path;
+- safetensors export/import in the reference's torch state-dict naming
+  (via `models.torch_compat`) so checkpoints interoperate with the PyTorch
+  reference for parity checks (`build_model.py:49-58`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from adt_str_tpu.models.torch_compat import (
+    params_from_torch_state_dict,
+    params_to_torch_state_dict,
+)
+
+_CKPT_RE = re.compile(r"checkpoint-epoch-(\d+)-step-(\d+)$")
+
+
+def checkpoint_name(epoch: int, step: int) -> str:
+    return f"checkpoint-epoch-{epoch}-step-{step}"
+
+
+def save_checkpoint(
+    output_dir: str | Path,
+    params: Any,
+    opt_state: Any,
+    step: int,
+    epoch: int = 0,
+    max_checkpoints: Optional[int] = None,
+    export_safetensors_file: bool = True,
+) -> str:
+    output_dir = Path(output_dir)
+    path = output_dir / checkpoint_name(epoch, step)
+    ckptr = ocp.StandardCheckpointer()
+    state = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+    }
+    ckptr.save((path / "state").absolute(), state)
+    ckptr.wait_until_finished()
+    with open(path / "meta.json", "w") as f:
+        json.dump({"step": int(step), "epoch": int(epoch)}, f)
+    if export_safetensors_file:
+        export_safetensors(params, path / "model.safetensors")
+    if max_checkpoints:
+        gc_checkpoints(output_dir, max_checkpoints)
+    return str(path)
+
+
+def gc_checkpoints(output_dir: str | Path, keep: int) -> None:
+    ckpts = sorted(
+        (p for p in Path(output_dir).glob("checkpoint-epoch-*-step-*") if _CKPT_RE.search(p.name)),
+        key=lambda p: p.stat().st_mtime,
+    )
+    for p in ckpts[:-keep] if keep > 0 else []:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def latest_checkpoint(output_dir: str | Path) -> Optional[str]:
+    """Newest checkpoint dir by mtime (auto-resume, train.py:182-190)."""
+    ckpts = [
+        p for p in Path(output_dir).glob("checkpoint-epoch-*-step-*") if _CKPT_RE.search(p.name)
+    ]
+    if not ckpts:
+        return None
+    return str(max(ckpts, key=lambda p: p.stat().st_mtime))
+
+
+def restore_checkpoint(path: str | Path, abstract_state: Any) -> tuple[Any, Any, int, int]:
+    """-> (params, opt_state, step, epoch). `abstract_state` is a matching
+    pytree of arrays (e.g. freshly initialized) used as the restore template."""
+    path = Path(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": jax.tree.map(np.asarray, abstract_state["params"]),
+        "opt_state": jax.tree.map(np.asarray, abstract_state["opt_state"]),
+    }
+    state = ckptr.restore((path / "state").absolute(), template)
+    with open(path / "meta.json") as f:
+        meta = json.load(f)
+    return state["params"], state["opt_state"], meta["step"], meta["epoch"]
+
+
+def export_safetensors(params: Any, path: str | Path) -> None:
+    """Write reference-naming safetensors (consumable by the PyTorch side)."""
+    from safetensors.numpy import save_file
+
+    sd = params_to_torch_state_dict(params)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(path))
+
+
+def load_params_from_reference_checkpoint(checkpoint_path: str | Path) -> Any:
+    """Load model params from a reference-format checkpoint directory:
+    `model.safetensors` preferred, `pytorch_model.bin` fallback
+    (build_model.py:49-66, eval.py:180-225)."""
+    checkpoint_path = Path(checkpoint_path)
+    candidates = [
+        checkpoint_path / "model.safetensors",
+        checkpoint_path / "model.safetensor",
+    ]
+    st_path = next((p for p in candidates if p.exists()), None)
+    if st_path is not None:
+        from safetensors.numpy import load_file
+
+        sd = load_file(str(st_path))
+        return params_from_torch_state_dict(sd)
+    bin_path = checkpoint_path / "pytorch_model.bin"
+    if bin_path.exists():
+        import torch
+
+        ckpt = torch.load(str(bin_path), map_location="cpu", weights_only=True)
+        for key in ("model_state_dict", "state_dict"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+        sd = {k: v.numpy() for k, v in ckpt.items()}
+        return params_from_torch_state_dict(sd)
+    tried = ", ".join(str(p) for p in [*candidates, bin_path])
+    raise FileNotFoundError(f"No checkpoint found at {checkpoint_path}. Looked for: {tried}")

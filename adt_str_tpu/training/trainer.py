@@ -1,0 +1,207 @@
+"""Training loop — the HF-Trainer replacement (`ADTTrainer` + `train()`,
+train.py:33-329), TPU-native.
+
+Responsibilities and their reference counterparts:
+- builds tokenizer / synthesizer bank / dataset / model from the merged config
+  (train.py:270-301);
+- AdamW + linear-warmup cosine(-min-LR) schedule + grad clip + accumulation
+  (train.py:219-249 via TrainingArguments);
+- bf16 compute with fp32 loss (mixed_precision bf16, train.py:233-234);
+- Lakh path: *on-device* synthesis fused into the jitted train step
+  (`make_synth_train_step`) — the reference's CPU dataloader-worker synthesis
+  is the documented bottleneck (SURVEY.md §3.1);
+- TMIDT path: real audio batches from the host pipeline;
+- per-step logging (logging_steps, train.py:227), optional wandb
+  (experiment.use_wandb, train.py:260-267; gated — wandb is absent in this
+  image), save-every-n-steps + max_checkpoints GC + auto-resume
+  (train.py:179-190, 228-232), final save (train.py:323);
+- optional `jax.profiler` trace window (`logging.profile_steps`) — the
+  reference has no profiling at all (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from adt_str_tpu.config import FrameworkConfig
+from adt_str_tpu.data.datasets import LakhDataset, TMIDTDataset
+from adt_str_tpu.domain.tokenizer import MidiTokenizer
+from adt_str_tpu.models import adt
+from adt_str_tpu.parallel import mesh as mesh_lib
+from adt_str_tpu.parallel.train_step import (
+    TrainState,
+    init_train_state,
+    make_synth_train_step,
+    make_train_step,
+)
+from adt_str_tpu.synth.bank import load_bank_hdf5
+from adt_str_tpu.synth.render import SynthStatics
+from adt_str_tpu.training import checkpoint as ckpt_lib
+from adt_str_tpu.training.optimizer import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(log_level: str = "INFO") -> None:
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S",
+        level=getattr(logging, log_level.upper()),
+    )
+
+
+def _maybe_wandb(cfg: FrameworkConfig):
+    if not cfg.experiment.use_wandb:
+        return None
+    try:
+        import wandb
+
+        wandb.init(
+            project=cfg.experiment.project_name,
+            config=cfg.raw,
+            name=cfg.experiment.run_name,
+        )
+        return wandb
+    except ImportError:
+        logger.warning("use_wandb=true but wandb is not installed; logging locally only")
+        return None
+
+
+def train(cfg: FrameworkConfig) -> TrainState:
+    setup_logging(cfg.logging.log_level)
+    assert cfg.train_data is not None, "TrainDatasetConfig section is required"
+    wandb = _maybe_wandb(cfg)
+
+    tokenizer = MidiTokenizer(cfg.tokenizer)
+    data_cfg = cfg.train_data
+
+    synth_statics = None
+    if data_cfg.dataset_name == "Lakh":
+        assert cfg.synthetiser is not None, "Synthetiser is required for Lakh dataset"
+        bank_path = f"{cfg.synthetiser.oneshot_path}@{cfg.synthetiser.sample_rate}.hdf5"
+        max_len = int(cfg.synthetiser.max_oneshot_sec * cfg.synthetiser.sample_rate)
+        bank = load_bank_hdf5(bank_path, max_len)
+        synth_statics = SynthStatics.from_bank(bank)
+        dataset = LakhDataset(data_cfg, tokenizer, max_notes=cfg.synthetiser.max_notes)
+        logger.info("Lakh dataset: %d segments, bank: %d one-shots", len(dataset), bank.n_samples)
+    elif data_cfg.dataset_name == "TMIDT":
+        dataset = TMIDTDataset(data_cfg, tokenizer)
+        logger.info("TMIDT dataset: %d items", len(dataset))
+    else:
+        raise ValueError(f"Dataset name {data_cfg.dataset_name} not supported")
+
+    model_cfg = cfg.model
+    params = adt.init_params(jax.random.PRNGKey(cfg.experiment.seed), model_cfg)
+    logger.info("model params: %.2f M", adt.param_count(params) / 1e6)
+
+    n_devices = len(jax.devices())
+    global_batch = cfg.training.batch_size * max(1, n_devices)
+    steps_per_epoch = max(1, len(dataset) // global_batch)
+    total_steps = int(steps_per_epoch * float(cfg.training.num_epochs))
+    if cfg.training.max_steps:
+        total_steps = min(total_steps, cfg.training.max_steps)
+    logger.info(
+        "devices=%d global_batch=%d steps/epoch=%d total_steps=%d",
+        n_devices, global_batch, steps_per_epoch, total_steps,
+    )
+
+    tx, schedule = make_optimizer(cfg.training, total_steps, params)
+
+    mesh = None
+    if n_devices > 1:
+        mesh = mesh_lib.make_mesh(n_data=n_devices, n_model=1)
+        params = mesh_lib.shard_params(mesh, params)
+
+    if data_cfg.dataset_name == "Lakh":
+        step_fn = make_synth_train_step(model_cfg, cfg.synthetiser, synth_statics, tx)
+    else:
+        step_fn = make_train_step(model_cfg, tx)
+    state = init_train_state(params, tx)
+
+    # resume
+    output_dir = Path(cfg.logging.output_dir) / cfg.experiment.run_name
+    output_dir.mkdir(parents=True, exist_ok=True)
+    start_step = 0
+    resume = cfg.checkpoint.resume_from_checkpoint
+    if not resume and cfg.checkpoint.auto_resume:
+        resume = ckpt_lib.latest_checkpoint(output_dir)
+    if resume:
+        p, o, start_step, _ = ckpt_lib.restore_checkpoint(
+            resume, {"params": state.params, "opt_state": state.opt_state}
+        )
+        if mesh is not None:
+            p = mesh_lib.shard_params(mesh, p)
+        state = TrainState(p, o, state.step + start_step)
+        logger.info("resumed from %s at step %d", resume, start_step)
+
+    rng = np.random.default_rng(cfg.experiment.seed)
+    step_key = jax.random.PRNGKey(cfg.experiment.seed + 1)
+    profile_steps = cfg.logging.profile_steps or []
+
+    step_idx = start_step
+    t_last = time.perf_counter()
+    epoch = 0
+    done = False
+    while not done:
+        for batch in dataset.batches(global_batch, rng, shuffle=True):
+            if step_idx >= total_steps:
+                done = True
+                break
+            device_batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+            if data_cfg.dataset_name != "Lakh":
+                device_batch.pop("notes", None)
+                device_batch.pop("note_mask", None)
+            if mesh is not None:
+                device_batch = mesh_lib.shard_batch(mesh, device_batch)
+
+            if profile_steps and step_idx == profile_steps[0]:
+                jax.profiler.start_trace(str(output_dir / "profile"))
+            state, metrics = step_fn(
+                state, device_batch, jax.random.fold_in(step_key, step_idx)
+            )
+            if profile_steps and step_idx == profile_steps[-1]:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+
+            step_idx += 1
+            if step_idx % cfg.logging.logging_steps == 0:
+                loss = float(metrics["loss"])
+                now = time.perf_counter()
+                sps = cfg.logging.logging_steps / (now - t_last)
+                t_last = now
+                lr = float(schedule(step_idx))
+                logger.info(
+                    "step %d/%d loss=%.4f grad_norm=%.3f lr=%.2e steps/s=%.2f",
+                    step_idx, total_steps, loss, float(metrics["grad_norm"]), lr, sps,
+                )
+                if wandb:
+                    wandb.log(
+                        {"loss": loss, "lr": lr, "steps_per_sec": sps}, step=step_idx
+                    )
+            if (
+                cfg.logging.save_every_n_steps
+                and step_idx % cfg.logging.save_every_n_steps == 0
+            ):
+                path = ckpt_lib.save_checkpoint(
+                    output_dir, state.params, state.opt_state, step_idx, epoch,
+                    max_checkpoints=cfg.checkpoint.max_checkpoints,
+                )
+                logger.info("saved checkpoint %s", path)
+        epoch += 1
+        if step_idx >= total_steps:
+            done = True
+
+    path = ckpt_lib.save_checkpoint(
+        output_dir, state.params, state.opt_state, step_idx, epoch,
+        max_checkpoints=cfg.checkpoint.max_checkpoints,
+    )
+    logger.info("training complete; final checkpoint %s", path)
+    if wandb:
+        wandb.finish()
+    return state

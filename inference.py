@@ -1,0 +1,123 @@
+"""Single-file transcription CLI:
+`python inference.py <audio> <config.yaml> [-o outdir] [-s]`.
+
+Same contract as the reference (`inference.py:51-153`): load audio, resample
+to the configured rate, mono-mix, split into `input_sec` chunks (zero-padded
+tail), greedy-decode each chunk, shift note times by chunk start, dedup, write
+a MIDI file; `-s` resynthesizes the transcription through the drum
+synthesizer.
+
+TPU redesign: all chunks decode in ONE batched call (the reference loops
+chunk-by-chunk, inference.py:103-120) and MIDI export uses the framework's own
+SMF writer (the reference's `pretty_midi.PrettyMidi` call is a typo that
+crashes at runtime, inference.py:16 — documented divergence).
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from adt_str_tpu.config import FrameworkConfig
+from adt_str_tpu.domain.tokenizer import MidiTokenizer
+from adt_str_tpu.evaluation.harness import decode_tokens_to_notes
+from adt_str_tpu.models import decode as decode_lib
+from adt_str_tpu.training.checkpoint import load_params_from_reference_checkpoint
+from adt_str_tpu.utils.audio_io import load_and_resample, write_wav
+from adt_str_tpu.utils.midi_io import write_midi
+
+
+def chunk_audio(wave: np.ndarray, chunk_samples: int) -> tuple[np.ndarray, np.ndarray]:
+    """1-D wave -> (chunks (N, chunk_samples) zero-padded, start_samples (N,))."""
+    n = len(wave)
+    starts = np.arange(0, max(n, 1), chunk_samples)
+    chunks = np.zeros((len(starts), chunk_samples), dtype=np.float32)
+    for i, s in enumerate(starts):
+        seg = wave[s : s + chunk_samples]
+        chunks[i, : len(seg)] = seg
+    return chunks, starts
+
+
+def transcribe(
+    params, cfg: FrameworkConfig, wave: np.ndarray, tokenizer: MidiTokenizer
+) -> np.ndarray:
+    chunks, starts = chunk_audio(wave, cfg.shared.chunk_samples)
+    tokens = decode_lib.greedy_decode(
+        params,
+        jnp.asarray(chunks),
+        cfg.model,
+        max_length=int(cfg.inference.max_length),
+        start_token=tokenizer.BOS_token,
+        end_token=tokenizer.EOS_token,
+    )
+    tokens = np.asarray(tokens)
+    all_notes = []
+    for i, start in enumerate(starts):
+        notes = decode_tokens_to_notes(tokenizer, tokens[i])
+        if len(notes):
+            notes[:, 0:2] += start / cfg.shared.sample_rate
+            all_notes.append(notes)
+    if not all_notes:
+        return np.zeros((0, 4), dtype=np.float32)
+    notes = np.concatenate(all_notes, axis=0)
+    return np.unique(notes, axis=0)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="ADT inference")
+    parser.add_argument("input_path", type=str)
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("-o", "--output_path", type=str, default="outputs/")
+    parser.add_argument("-s", "--synthetise_transcription", action="store_true")
+    args = parser.parse_args()
+
+    os.makedirs(args.output_path, exist_ok=True)
+    input_stem = Path(args.input_path).stem
+
+    cfg = FrameworkConfig.from_yaml(args.config_path)
+    params = load_params_from_reference_checkpoint(cfg.inference.checkpoint_path)
+    tokenizer = MidiTokenizer(cfg.tokenizer)
+
+    print(f"Loading audio: {args.input_path}")
+    wave = load_and_resample(args.input_path, cfg.shared.sample_rate)
+    notes = transcribe(params, cfg, wave, tokenizer)
+
+    midi_path = os.path.join(args.output_path, f"{input_stem}.mid")
+    write_midi(midi_path, notes, is_drum=True)
+    print(f"Transcription saved to: {midi_path} ({len(notes)} notes)")
+
+    if args.synthetise_transcription and len(notes):
+        import jax
+
+        from adt_str_tpu.synth.bank import load_bank_hdf5
+        from adt_str_tpu.synth.render import SynthStatics, pad_notes, render_batch
+
+        print("Synthesizing transcription...")
+        synth = cfg.synthetiser
+        bank_path = f"{synth.oneshot_path}@{synth.sample_rate}.hdf5"
+        bank = load_bank_hdf5(bank_path, int(synth.max_oneshot_sec * synth.sample_rate))
+        statics = SynthStatics.from_bank(bank)
+        # render chunk-by-chunk on the input_sec grid
+        from adt_str_tpu.domain.segmenter import Segmenter
+
+        seg = Segmenter(cfg.shared)
+        chunks = seg.chunk_notes(notes)
+        padded, masks = zip(*(pad_notes(c, synth.max_notes) for c in chunks))
+        keys = jax.random.split(jax.random.PRNGKey(0), len(chunks))
+        wavs = np.asarray(
+            render_batch(
+                statics, jnp.asarray(np.stack(padded)), jnp.asarray(np.stack(masks)),
+                keys, synth,
+            )
+        )
+        resynth = wavs.reshape(-1)
+        out = os.path.join(args.output_path, f"{input_stem}_resynth.wav")
+        write_wav(out, resynth, synth.sample_rate)
+        print(f"Resynthesized audio saved to: {out}")
+
+
+if __name__ == "__main__":
+    main()

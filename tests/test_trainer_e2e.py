@@ -1,0 +1,143 @@
+"""End-to-end trainer test: tiny Lakh parquet + tiny one-shot bank ->
+config-driven training with on-device synthesis on the 8-device CPU mesh,
+checkpoint save + auto-resume."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adt_str_tpu.config import FrameworkConfig
+from adt_str_tpu.data.lakh import SCHEMA
+from adt_str_tpu.synth.bank import make_test_bank, save_bank_hdf5
+from adt_str_tpu.training import checkpoint as ckpt_lib
+from adt_str_tpu.training.trainer import train
+
+SR = 4000
+
+
+def _write_lakh_parquet(path, n_segments=48):
+    rng = np.random.default_rng(0)
+    rows = {"midi_id": [], "segment_number": [], "notes": []}
+    for i in range(n_segments):
+        n = int(rng.integers(1, 6))
+        onsets = np.sort(rng.uniform(0, 0.5, n))
+        pitches = rng.choice([36, 38, 42, 49], n)
+        vels = rng.integers(40, 127, n)
+        notes = np.stack([onsets, onsets + 0.05, pitches, vels], axis=1).astype(np.float32)
+        rows["midi_id"].append(f"id{i}")
+        rows["segment_number"].append(0)
+        rows["notes"].append(notes.tobytes())
+    pq.write_table(pa.table(rows, schema=SCHEMA), path)
+
+
+def _bank_entries(rng):
+    entries = {}
+    for pitch in [35, 36, 38, 41, 42, 46, 48]:
+        entries[pitch] = {
+            "gold": [
+                (np.exp(-np.arange(400) / 200) * rng.normal(size=400)).astype(np.float32)
+            ]
+        }
+    return entries
+
+
+@pytest.fixture
+def train_env(tmp_path):
+    data_dir = tmp_path / "lakh"
+    data_dir.mkdir()
+    _write_lakh_parquet(str(data_dir / "A.parquet"))
+    rng = np.random.default_rng(1)
+    bank_prefix = str(tmp_path / "oneshot")
+    save_bank_hdf5(f"{bank_prefix}@{SR}.hdf5", _bank_entries(rng), SR)
+    return {"data_dir": str(data_dir), "bank_prefix": bank_prefix, "out": str(tmp_path / "out")}
+
+
+def make_cfg(env, max_steps=4):
+    return FrameworkConfig.from_dict(
+        {
+            "shared": {"input_sec": 0.64, "time_res": 0.01, "win_length": 256, "sample_rate": SR},
+            "model": {
+                "enc_layers": 1, "dec_layers": 1, "nhead": 2, "d_query": 16,
+                "dropout": 0.0, "tgt_vocab_size": 1400, "n_mels": 16,
+                "compute_dtype": "float32", "max_positions": 64,
+            },
+            "tokenizer": {"ADTOF_mapping": False, "BOS_token": 2, "EOS_token": 3,
+                          "pad_token": 1, "silence_token": 0, "add_velocity": True},
+            "training": {"batch_size": 1, "num_epochs": 5, "learning_rate": 1e-3,
+                         "warmup_ratio": 0.1, "max_steps": max_steps},
+            "TrainDatasetConfig": {
+                "dataset_path": env["data_dir"], "dataset_name": "Lakh",
+                "partitions": None, "empty_tokens_percentage": 0.1,
+                "random_velocity_prob": 0.5, "max_tokens": 32,
+            },
+            "synthetiser": {
+                "oneshot_path": env["bank_prefix"], "similarity_threshold": 1.0,
+                "mixup_range": 0.5, "use_fx_prob": 0.0, "max_notes": 8,
+                "max_oneshot_sec": 0.1,
+            },
+            "logging": {"output_dir": env["out"], "logging_steps": 2,
+                        "save_every_n_steps": 2},
+            "checkpoint": {"max_checkpoints": 2, "auto_resume": True},
+            "experiment": {"seed": 0, "run_name": "e2e"},
+        }
+    )
+
+
+def test_train_e2e_and_resume(train_env):
+    cfg = make_cfg(train_env, max_steps=4)
+    state = train(cfg)
+    assert int(state.step) >= 4
+    latest = ckpt_lib.latest_checkpoint(f"{train_env['out']}/e2e")
+    assert latest is not None and "step-4" in latest
+
+    # resume continues from step 4 without re-running earlier steps
+    cfg2 = make_cfg(train_env, max_steps=6)
+    state2 = train(cfg2)
+    latest2 = ckpt_lib.latest_checkpoint(f"{train_env['out']}/e2e")
+    assert "step-6" in latest2
+
+
+def test_checkpoint_roundtrip_and_safetensors(tmp_path, train_env):
+    import jax
+
+    from adt_str_tpu.models import adt
+    from adt_str_tpu.training.optimizer import make_optimizer
+
+    cfg = make_cfg(train_env)
+    params = adt.init_params(jax.random.PRNGKey(0), cfg.model)
+    tx, _ = make_optimizer(cfg.training, 10, params)
+    opt_state = tx.init(params)
+    out = tmp_path / "ckpts"
+    path = ckpt_lib.save_checkpoint(out, params, opt_state, step=3, epoch=0)
+    # reference-format safetensors sits next to the orbax state
+    p2 = ckpt_lib.load_params_from_reference_checkpoint(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # orbax restore
+    rp, ro, step, epoch = ckpt_lib.restore_checkpoint(
+        path, {"params": params, "opt_state": opt_state}
+    )
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_gc(tmp_path, train_env):
+    import time
+
+    import jax
+
+    from adt_str_tpu.models import adt
+    from adt_str_tpu.training.optimizer import make_optimizer
+
+    cfg = make_cfg(train_env)
+    params = adt.init_params(jax.random.PRNGKey(0), cfg.model)
+    tx, _ = make_optimizer(cfg.training, 10, params)
+    opt_state = tx.init(params)
+    out = tmp_path / "ckpts"
+    for s in [1, 2, 3]:
+        ckpt_lib.save_checkpoint(out, params, opt_state, step=s, max_checkpoints=2)
+        time.sleep(0.05)
+    remaining = sorted(p.name for p in out.glob("checkpoint-*"))
+    assert remaining == ["checkpoint-epoch-0-step-2", "checkpoint-epoch-0-step-3"]
