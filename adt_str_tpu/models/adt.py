@@ -85,7 +85,9 @@ def encode(
 ) -> jnp.ndarray:
     """(B, samples) waveform -> (B, frames, d_model) encoder memory."""
     compute = jnp.dtype(config.compute_dtype)
-    if config.use_pallas_mel:
+    # Pallas kernels only lower on TPU backends; fall back to the XLA path on
+    # CPU (tests / dry runs) even when the config enables the fused kernel.
+    if config.use_pallas_mel and jax.default_backend() not in ("cpu",):
         from adt_str_tpu.ops.pallas_mel import pallas_log_mel
 
         mel = pallas_log_mel(wave, mel_params(config))
