@@ -1,0 +1,251 @@
+"""CLAP-based one-shot library curation.
+
+Pipeline parity with `data_modules/augment_data_with_CLAP.py:71-193` (plus the
+gold consolidation of `copy_originals_to_augmented.py` and the HDF5 packer of
+`convert_augmented_to_hdf5.py`), redesigned for TPU scale:
+
+- reference set G: wavs grouped by parent-dir pitch name (35-81 and 421 for
+  electric hi-hat), batched CLAP audio embedding, per-class mean pooling;
+- unstructured library U: batched embedding (one XLA program per batch);
+- assignment: the reference sorts every (class, sample) similarity globally
+  descending and copies each sample at its first appearance — which is
+  exactly `class = argmax_c sim(sample, mean_c)` with score
+  `max_c sim` (proved by: the first sorted occurrence of a sample is its
+  maximum-similarity class). Implemented as one (U, 512) x (512, C) matmul,
+  optionally sharded over the device mesh's data axis so a 1M-sample library
+  scores in a single pjit step per shard (SURVEY.md §2.4: the one explicit
+  ICI-sharded collective pattern the port calls for);
+- binning: cosine [-1, 1] -> percent, `upper-lower` labels ("100-90", ...),
+  `num_bins` must divide 100 (`score_to_bin_label`);
+- copy each sample once into `<reference_root>_clap_augmented/<class>/<bin>`.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+from glob import glob
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from adt_str_tpu.utils.audio_io import load_and_resample, normalize
+
+logger = logging.getLogger(__name__)
+
+REFERENCE_CLASSES = list(range(35, 82)) + [421]  # 421 = electric hi-hat
+
+
+def sort_paths_by_parent_folder(file_paths: Sequence[str]) -> list[str]:
+    def sort_key(path):
+        parent_name = Path(path).parent.name
+        try:
+            return (0, int(parent_name), Path(path).name.lower())
+        except ValueError:
+            return (1, parent_name, Path(path).name.lower())
+
+    return sorted(file_paths, key=sort_key)
+
+
+def score_to_bin_label(score_value: float, num_bins: int = 10) -> str:
+    """cosine [-1,1] -> 'upper-lower' percentage bin (augment_data_with_CLAP.py:162-169)."""
+    bin_size = 100 // num_bins
+    pct = int(round((max(min(score_value, 1.0), -1.0) + 1.0) * 50.0))
+    bin_idx = min(pct // bin_size, num_bins - 1)
+    return f"{(bin_idx + 1) * bin_size}-{bin_idx * bin_size}"
+
+
+def encode_files(
+    wrapper, files: Sequence[str], sample_rate: int, batch_size: int
+) -> np.ndarray:
+    """Batched CLAP embedding of audio files -> (N, 512)."""
+    out = []
+    for i in range(0, len(files), batch_size):
+        batch = [
+            normalize(load_and_resample(f, sample_rate))
+            for f in files[i : i + batch_size]
+        ]
+        out.append(wrapper.get_audio_features(batch))
+        if (i // batch_size) % 50 == 0:
+            logger.info("encoded %d/%d", min(i + batch_size, len(files)), len(files))
+    return np.concatenate(out, axis=0)
+
+
+def reference_class_means(
+    wrapper, reference_root: str, sample_rate: int, batch_size: int
+) -> tuple[np.ndarray, list[int]]:
+    """-> (C, 512) per-class mean embeddings + class labels (non-empty only)."""
+    files = sort_paths_by_parent_folder(
+        glob(f"{reference_root}/**/*.[Ww][Aa][Vv]", recursive=True)
+    )
+    if not files:
+        raise RuntimeError("No reference embeddings found. Please check reference_root.")
+    embeds = encode_files(wrapper, files, sample_rate, batch_size)
+    by_class: dict[int, list[np.ndarray]] = {k: [] for k in REFERENCE_CLASSES}
+    for f, e in zip(files, embeds):
+        by_class[int(Path(f).parent.name)].append(e)
+    labels = [k for k in REFERENCE_CLASSES if by_class[k]]
+    means = np.stack([np.mean(by_class[k], axis=0) for k in labels])
+    return means.astype(np.float32), labels
+
+
+def assign_classes(
+    sample_embeds: np.ndarray,
+    class_means: np.ndarray,
+    mesh=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (best_class_idx (U,), best_score (U,)) via cosine similarity.
+
+    With a mesh, U rows are sharded over the `data` axis; each device scores
+    its shard locally (no cross-device traffic beyond the tiny replicated
+    class-mean matrix) — the TPU equivalent of the reference's per-class
+    python loop (augment_data_with_CLAP.py:139-151).
+    """
+    means_n = class_means / np.linalg.norm(class_means, axis=1, keepdims=True)
+
+    @jax.jit
+    def score(u, m):
+        u_n = u / jnp.linalg.norm(u, axis=1, keepdims=True)
+        sims = u_n @ m.T  # (U, C)
+        return jnp.argmax(sims, axis=1), jnp.max(sims, axis=1)
+
+    u = jnp.asarray(sample_embeds)
+    m = jnp.asarray(means_n)
+    if mesh is not None:
+        pad = (-len(sample_embeds)) % mesh.shape["data"]
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+        u = jax.device_put(u, NamedSharding(mesh, P("data", None)))
+        m = jax.device_put(m, NamedSharding(mesh, P()))
+        idx, val = score(u, m)
+        idx, val = idx[: len(sample_embeds)], val[: len(sample_embeds)]
+    else:
+        idx, val = score(u, m)
+    return np.asarray(idx), np.asarray(val)
+
+
+def curate_library(
+    wrapper,
+    sample_pack_root: str,
+    reference_root: str,
+    sample_rate: int,
+    batch_size: int = 32,
+    num_bins: int = 10,
+    mesh=None,
+) -> Path:
+    """Full curation: encode G + U, assign, bin, copy. Returns output root."""
+    if num_bins <= 0 or 100 % num_bins != 0:
+        raise ValueError("num_bins must be a positive integer that divides 100 evenly")
+
+    wav_files = glob(f"{sample_pack_root}/**/*.[Ww][Aa][Vv]", recursive=True)
+    logger.info("library: %d files", len(wav_files))
+    class_means, labels = reference_class_means(
+        wrapper, reference_root, sample_rate, batch_size
+    )
+    sample_embeds = encode_files(wrapper, wav_files, sample_rate, batch_size)
+    best_idx, best_score = assign_classes(sample_embeds, class_means, mesh)
+
+    augmented_root = Path(f"{reference_root}_clap_augmented")
+    if augmented_root.exists():
+        shutil.rmtree(augmented_root)
+    augmented_root.mkdir(parents=True, exist_ok=True)
+
+    copied = 0
+    for path, ci, score_value in zip(wav_files, best_idx, best_score):
+        dest_dir = (
+            augmented_root
+            / str(labels[int(ci)])
+            / score_to_bin_label(float(score_value), num_bins)
+        )
+        dest_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            shutil.copy2(path, dest_dir / Path(path).name)
+            copied += 1
+        except Exception as e:  # pragma: no cover
+            logger.warning("Failed to copy %s: %s", path, e)
+    logger.info("Copied: %d", copied)
+    return augmented_root
+
+
+def copy_originals_to_augmented(
+    reference_root: str, augmented_root: str | Path | None = None
+) -> Path:
+    """Copy the hand-curated originals into `<class>/gold/` bins
+    (`copy_originals_to_augmented.py:33-83`)."""
+    augmented_root = Path(augmented_root or f"{reference_root}_clap_augmented")
+    files = glob(f"{reference_root}/**/*.[Ww][Aa][Vv]", recursive=True)
+    for f in files:
+        label = Path(f).parent.name
+        dest = augmented_root / label / "gold"
+        dest.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(f, dest / Path(f).name)
+    return augmented_root
+
+
+def convert_augmented_to_hdf5(
+    input_root: str, output_prefix: str, sample_rate: int, overwrite: bool = False
+) -> Path:
+    """`<label>/<bin>/<name>.wav` tree -> `<prefix>@<sr>.hdf5` with gzip
+    datasets and the flat `/index/*` tables
+    (`convert_augmented_to_hdf5.py:29-147`)."""
+    import h5py
+
+    input_root = Path(input_root)
+    output_path = Path(f"{output_prefix}@{sample_rate}.hdf5")
+    if output_path.exists():
+        if overwrite:
+            output_path.unlink()
+        else:
+            raise FileExistsError(f"Output file exists: {output_path}")
+
+    wav_files = sorted(glob(str(input_root / "**" / "*.[Ww][Aa][Vv]"), recursive=True))
+    index = {"paths": [], "labels": [], "bins": [], "sample_rates": [], "lengths": []}
+    with h5py.File(output_path, "w") as h5:
+        for wav_path in wav_files:
+            rel = Path(wav_path).relative_to(input_root)
+            if len(rel.parts) < 3:
+                continue
+            label, bin_label = rel.parts[0], rel.parts[1]
+            try:
+                wave = normalize(load_and_resample(wav_path, sample_rate)).astype(
+                    np.float32
+                )
+            except Exception as e:
+                logger.warning("Failed to load %s: %s", wav_path, e)
+                continue
+            grp = h5.require_group(label).require_group(bin_label)
+            name = Path(wav_path).stem
+            suffix = 1
+            ds_name = name
+            while ds_name in grp:
+                suffix += 1
+                ds_name = f"{name}_{suffix}"
+            ds = grp.create_dataset(ds_name, data=wave, dtype="float32", compression="gzip")
+            ds.attrs["sample_rate"] = sample_rate
+            ds.attrs["path"] = str(rel)
+            ds.attrs["label"] = label
+            ds.attrs["bin"] = bin_label
+            ds.attrs["num_samples"] = int(wave.shape[0])
+            index["paths"].append(str(rel))
+            index["labels"].append(label)
+            index["bins"].append(bin_label)
+            index["sample_rates"].append(sample_rate)
+            index["lengths"].append(int(wave.shape[0]))
+
+        ig = h5.create_group("index")
+        ig.create_dataset("paths", data=index["paths"], compression="gzip")
+        ig.create_dataset("labels", data=index["labels"], compression="gzip")
+        ig.create_dataset("bins", data=index["bins"], compression="gzip")
+        ig.create_dataset(
+            "sample_rates", data=np.asarray(index["sample_rates"], np.int32),
+            compression="gzip",
+        )
+        ig.create_dataset(
+            "lengths", data=np.asarray(index["lengths"], np.int64), compression="gzip"
+        )
+    logger.info("Wrote %d items to %s", len(index["paths"]), output_path)
+    return output_path

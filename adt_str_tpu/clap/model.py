@@ -1,0 +1,114 @@
+"""CLAP wrapper: audio/text feature extraction + semantic matching.
+
+API parity with the reference `ClapWrapper` (`modules/clap_encoder.py:8-90`):
+`get_audio_features`, `get_text_features`, `semantic_match` — reimplemented as
+batched JAX inference over the TPU-native towers, with weights loaded from a
+local HF `laion/clap-htsat-fused` checkpoint directory (safetensors or
+pytorch_model.bin; this environment has no network egress, so the model dir
+must be local).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from adt_str_tpu.clap.audio_model import (
+    ClapAudioArch,
+    audio_params_from_torch_state_dict,
+    get_audio_features,
+)
+from adt_str_tpu.clap.features import ClapFeatureExtractor
+from adt_str_tpu.clap.text_model import (
+    ClapTextArch,
+    get_text_features,
+    text_params_from_torch_state_dict,
+)
+
+
+def load_clap_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
+    """Load a HF CLAP checkpoint directory into a numpy state dict."""
+    model_dir = Path(model_dir)
+    st = model_dir / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+
+        return load_file(str(st))
+    bin_path = model_dir / "pytorch_model.bin"
+    if bin_path.exists():
+        import torch
+
+        sd = torch.load(str(bin_path), map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no model.safetensors / pytorch_model.bin in {model_dir}")
+
+
+class ClapWrapper:
+    """JAX CLAP encoder (reference `modules/clap_encoder.py` equivalent)."""
+
+    def __init__(
+        self,
+        model_name_or_dir: str,
+        sample_rate: int = 48_000,
+        audio_arch: ClapAudioArch = ClapAudioArch(),
+        text_arch: ClapTextArch = ClapTextArch(),
+        rng: Optional[np.random.Generator] = None,
+    ):
+        sd = load_clap_state_dict(model_name_or_dir)
+        self.audio_params = audio_params_from_torch_state_dict(sd, audio_arch)
+        self.text_params = text_params_from_torch_state_dict(sd, text_arch)
+        self.logit_scale_a = float(np.exp(np.asarray(sd["logit_scale_a"])))
+        self.audio_arch = audio_arch
+        self.text_arch = text_arch
+        self.sample_rate = sample_rate
+        self.feature_extractor = ClapFeatureExtractor(rng=rng)
+        self._tokenizer = None
+        self._model_dir = model_name_or_dir
+
+    # ------------------------------------------------------------------ audio
+
+    def get_audio_features(self, audios: list[np.ndarray]) -> np.ndarray:
+        """list of mono 48 kHz waveforms -> (B, 512) L2-normalized embeddings."""
+        feats, is_longer = self.feature_extractor(
+            [np.asarray(a).reshape(-1) for a in audios]
+        )
+        out = get_audio_features(
+            self.audio_params, jnp.asarray(feats), jnp.asarray(is_longer),
+            self.audio_arch,
+        )
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------- text
+
+    def tokenize(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """RoBERTa tokenization via the local checkpoint's tokenizer files."""
+        if self._tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(self._model_dir)
+        enc = self._tokenizer(texts, padding=True, truncation=True, return_tensors="np")
+        return enc["input_ids"], enc["attention_mask"]
+
+    def get_text_features(self, texts: list[str]) -> np.ndarray:
+        input_ids, attention_mask = self.tokenize(texts)
+        out = get_text_features(
+            self.text_params,
+            jnp.asarray(input_ids),
+            jnp.asarray(attention_mask, dtype=jnp.float32),
+            self.text_arch,
+        )
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------ match
+
+    def semantic_match(
+        self, audio_features: np.ndarray, text_features: np.ndarray
+    ) -> np.ndarray:
+        """softmax(logit_scale_a * audio @ text^T) (clap_encoder.py:86-90)."""
+        logits = self.logit_scale_a * (audio_features @ text_features.T)
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits)
+        return e / e.sum(axis=-1, keepdims=True)

@@ -1,0 +1,51 @@
+"""CLAP curation CLI (reference `data_modules/augment_data_with_CLAP.py`).
+
+Usage: python scripts/augment_data_with_clap.py configs/preprocess/clap.yaml
+       [--num_bins 10]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from adt_str_tpu.config import ClapConfig, load_merged_config, make_dataclass_from
+from adt_str_tpu.training.trainer import setup_logging
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("--num_bins", type=int, default=10)
+    args = parser.parse_args()
+    if args.num_bins <= 0 or 100 % args.num_bins != 0:
+        parser.error("--num_bins must be a positive integer that divides 100 evenly")
+
+    setup_logging()
+    cfg = load_merged_config(args.config_path)
+    clap_cfg = make_dataclass_from(
+        ClapConfig, cfg.get("clap_config", {}), cfg.get("shared", {})
+    )
+
+    import jax
+
+    from adt_str_tpu.clap.curation import curate_library
+    from adt_str_tpu.clap.model import ClapWrapper
+    from adt_str_tpu.parallel.mesh import make_mesh
+
+    wrapper = ClapWrapper(clap_cfg.model_name, sample_rate=clap_cfg.sample_rate)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    curate_library(
+        wrapper,
+        clap_cfg.sample_pack_root,
+        clap_cfg.reference_root,
+        sample_rate=clap_cfg.sample_rate,
+        batch_size=clap_cfg.batch_size,
+        num_bins=args.num_bins,
+        mesh=mesh,
+    )
+
+
+if __name__ == "__main__":
+    main()
