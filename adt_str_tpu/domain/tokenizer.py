@@ -149,6 +149,22 @@ class MidiTokenizer:
         tokens decoded at all, velocity defaults to 100; under ADTOF the pitch
         is passed through the ADTOF map again (idempotent on ADTOF classes).
         """
+        from adt_str_tpu.native import native
+
+        mod = native()
+        if mod is not None:
+            rows = mod.decode_tokens(
+                [int(t) for t in np.asarray(tokens).reshape(-1)],
+                int(self.ADTOF_mapping),
+                self.BOS_token,
+                self.EOS_token,
+            )
+            return np.array(rows, dtype=np.float32)
+        return self._decode_python(tokens)
+
+    def _decode_python(self, tokens) -> np.ndarray:
+        """Pure-python reference implementation of `decode` (fallback when the
+        native extension is unavailable; also the parity oracle in tests)."""
         onsets: dict[int, float] = {}
         pitches: dict[int, float] = {}
         velocities: dict[int, float] = {}

@@ -83,6 +83,21 @@ def match_notes(
     if len(ref_pitches) == 0 or len(est_pitches) == 0:
         return []
 
+    if offset_ratio is None:
+        from adt_str_tpu.native import native
+
+        mod = native()
+        if mod is not None:
+            pairs = mod.match_notes(
+                ref_intervals[:, 0].tolist(),
+                ref_pitches.tolist(),
+                est_intervals[:, 0].tolist(),
+                est_pitches.tolist(),
+                float(onset_tolerance),
+                float(pitch_tolerance),
+            )
+            return sorted((int(a), int(b)) for a, b in pairs)
+
     onset_ok = (
         np.abs(ref_intervals[:, 0][:, None] - est_intervals[:, 0][None, :])
         <= onset_tolerance

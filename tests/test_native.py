@@ -1,0 +1,63 @@
+"""Native C++ extension: build + exact parity with the python fallbacks."""
+
+import numpy as np
+import pytest
+
+from adt_str_tpu.config import TokenizerConfig
+from adt_str_tpu.domain.tokenizer import MidiTokenizer
+from adt_str_tpu.native import build, native
+
+pytestmark = pytest.mark.skipif(native() is None, reason="no C++ toolchain")
+
+
+def test_builds():
+    assert build() is not None
+
+
+def test_decode_parity_random(rng):
+    for adtof in [False, True]:
+        tok = MidiTokenizer(TokenizerConfig(ADTOF_mapping=adtof))
+        for _ in range(100):
+            # random token soup incl. malformed streams
+            n = int(rng.integers(1, 60))
+            tokens = rng.integers(0, 528, n)
+            ours = tok.decode(tokens)
+            ref = tok._decode_python(tokens)
+            assert ours.shape == ref.shape
+            if ours.size:
+                np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_decode_parity_wellformed(rng):
+    tok = MidiTokenizer(TokenizerConfig(add_velocity=True))
+    notes = np.array([[0.5, 0.6, 38, 90], [1.0, 1.1, 42, 60]], dtype=np.float32)
+    tokens = tok.notes_to_adt_tokens(notes)
+    np.testing.assert_allclose(tok.decode(tokens), tok._decode_python(tokens))
+
+
+def test_match_parity_cardinality(rng):
+    from adt_str_tpu.ops.matching import hopcroft_karp, match_notes
+
+    mod = native()
+    for _ in range(50):
+        nr, ne = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+        ref_on = np.sort(rng.uniform(0, 3, nr))
+        est_on = np.sort(rng.uniform(0, 3, ne))
+        ref_pi = rng.choice([35, 38, 42, 48], nr) * 1000.0
+        est_pi = rng.choice([35, 38, 42, 48], ne) * 1000.0
+        ref_iv = np.stack([ref_on, ref_on + 0.1], axis=1) if nr else np.zeros((0, 2))
+        est_iv = np.stack([est_on, est_on + 0.1], axis=1) if ne else np.zeros((0, 2))
+
+        got = match_notes(ref_iv, ref_pi, est_iv, est_pi,
+                          onset_tolerance=0.05, pitch_tolerance=1.0)
+        # python oracle
+        onset_ok = np.abs(ref_on[:, None] - est_on[None, :]) <= 0.05 if nr and ne else np.zeros((nr, ne), bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cents = 1200 * np.abs(np.log2(est_pi[None, :] / ref_pi[:, None])) if nr and ne else np.zeros((nr, ne))
+        feasible = onset_ok & (cents <= 1.0)
+        adj = [np.where(row)[0].tolist() for row in feasible]
+        oracle = hopcroft_karp(adj, ne)
+        assert len(got) == len(oracle)
+        # every returned pair is feasible
+        for a, b in got:
+            assert feasible[a, b]
