@@ -8,6 +8,8 @@ replacing HF Trainer + accelerate).
 
 import argparse
 
+import jax
+
 from adt_str_tpu.config import FrameworkConfig
 from adt_str_tpu.training.trainer import train
 
@@ -15,4 +17,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str)
     args = parser.parse_args()
+    if jax.default_backend() != "cpu":
+        # hardware RNG for dropout masks (threefry dominates the step on TPU)
+        jax.config.update("jax_default_prng_impl", "rbg")
     train(FrameworkConfig.from_yaml(args.config))
