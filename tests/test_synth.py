@@ -83,10 +83,11 @@ def test_render_basic(statics):
     )
     wav = np.asarray(wav)
     assert wav.shape == (c.chunk_samples,)
-    # silence before the first onset, energy after it
+    # (near-)silence before the first onset (FFT-conv round-off only),
+    # energy after it
     first = int(0.1 * SR)
-    assert np.abs(wav[:first]).max() == 0.0
-    assert np.abs(wav[first:]).max() > 0.0
+    assert np.abs(wav[:first]).max() < 1e-6
+    assert np.abs(wav[first:]).max() > 0.01
     # peak-normalized to the master gain vel_to_vol(100)
     np.testing.assert_allclose(
         np.abs(wav).max(), float(vel_to_vol(100.0)), rtol=1e-5
