@@ -30,6 +30,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` when the standard
+    cluster env vars are present (COORDINATOR_ADDRESS or a TPU pod slice).
+    Single-host/single-chip runs are untouched. The reference's multi-node
+    path was `accelerate launch` + NCCL (README.md:53-57); here the JAX
+    runtime owns DCN coordination and the mesh spans all global devices."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # pragma: no cover
+            import logging
+
+            logging.getLogger(__name__).warning("jax.distributed.initialize failed: %s", e)
+
+
 def make_mesh(
     n_data: int = -1, n_model: int = 1, devices: list | None = None
 ) -> Mesh:

@@ -75,6 +75,7 @@ def _maybe_wandb(cfg: FrameworkConfig):
 
 def train(cfg: FrameworkConfig) -> TrainState:
     setup_logging(cfg.logging.log_level)
+    mesh_lib.maybe_initialize_distributed()
     assert cfg.train_data is not None, "TrainDatasetConfig section is required"
     wandb = _maybe_wandb(cfg)
 
