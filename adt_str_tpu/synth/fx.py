@@ -7,15 +7,17 @@ preserved is the distributional contract: per-FX inclusion probabilities and
 parameter ranges (`synthetiser.py:44-86`), and the clamped-normal sampler
 (`utils/utils.py:266-268`).
 
-TPU-native implementations:
-- Reverb: frequency-domain convolution with a synthesized exponentially
-  decaying noise impulse response; `room_size` sets the decay time, `damping`
-  a first-order spectral low-pass tilt, wet/dry mix as in Freeverb. One rFFT
-  multiply instead of JUCE's sequential comb/allpass banks — O(n log n),
-  fully batchable.
-- Compressor: attack-window max-pool envelope, release smoothing as a
-  first-order linear recurrence evaluated with `lax.associative_scan`
-  (O(log n) depth — no sequential sample loop), log-domain gain computer.
+TPU-native implementations (all static-shape, fusion-friendly, FFT-free —
+TPU FFT throughput is poor and some sizes are unimplemented on this backend):
+- Reverb: sparse-FIR echo bank — ~40 log-spaced *static* delay taps, with the
+  room character (decay envelope, per-tap sign/amplitude jitter, damping
+  low-pass) randomized per segment. Static delays mean every tap is a plain
+  shifted add that XLA fuses; randomizing amplitudes instead of tap positions
+  keeps the same perceptual family as a decaying-noise IR.
+- Compressor: peak envelope computed on an 8x-decimated signal (reshape-max),
+  attack/release smoothing as first-order linear recurrences via
+  `lax.associative_scan` (O(log n) depth) on the short envelope, then
+  repeat-upsampled; log-domain gain computer.
 - Limiter: the same engine with infinite ratio and fast fixed attack.
 
 All functions are pure, vmappable over the batch, and threaded by PRNG keys.
@@ -23,12 +25,14 @@ All functions are pure, vmappable over the batch, and threaded by PRNG keys.
 
 from __future__ import annotations
 
-from functools import partial
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-IR_SECONDS = 0.7  # synthesized reverb tail length
+N_TAPS = 40
+MAX_DELAY_SEC = 0.35
+ENV_DECIM = 8  # envelope decimation factor
 
 
 def draw_clamped_normal(key, std, mean, high_bound, low_bound):
@@ -53,22 +57,27 @@ def ema_scan(x: jnp.ndarray, coeff: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _tap_delays(sr: int) -> np.ndarray:
+    """Static log-spaced echo delays (samples), ~3 ms .. MAX_DELAY_SEC."""
+    d = np.geomspace(0.003 * sr, MAX_DELAY_SEC * sr, N_TAPS)
+    # decorrelate taps deterministically (fixed seed: delays must stay static)
+    jitter = np.random.default_rng(12345).uniform(0.85, 1.15, N_TAPS)
+    return np.unique((d * jitter).astype(np.int64))
+
+
 def _envelope(x: jnp.ndarray, sr: int, attack_ms, release_ms) -> jnp.ndarray:
-    """Peak envelope: attack-window max pooling + release EMA smoothing."""
-    ax = jnp.abs(x)
-    # attack: look-back max over a window of attack_ms (static upper bound 16ms
-    # of window, scaled selection) — approximate with a fixed small window and
-    # blend by attack coefficient
-    win = max(1, int(sr * 0.005))  # 5 ms structural window
-    padded = jnp.pad(ax, (win - 1, 0), constant_values=0.0)
-    pooled = jax.lax.reduce_window(
-        padded, 0.0, jax.lax.max, (win,), (1,), "valid"
-    )
-    attack_coeff = jnp.exp(-1.0 / (sr * jnp.maximum(attack_ms, 0.1) / 1000.0))
-    fast = ema_scan(pooled, attack_coeff)
-    release_coeff = jnp.exp(-1.0 / (sr * jnp.maximum(release_ms, 1.0) / 1000.0))
-    slow = ema_scan(pooled, release_coeff)
-    return jnp.maximum(fast, slow)
+    """Peak envelope on an 8x-decimated grid, repeat-upsampled."""
+    n = x.shape[-1]
+    n_dec = n // ENV_DECIM
+    ax = jnp.abs(x[: n_dec * ENV_DECIM]).reshape(n_dec, ENV_DECIM).max(axis=-1)
+    sr_dec = sr // ENV_DECIM
+    attack_coeff = jnp.exp(-1.0 / (sr_dec * jnp.maximum(attack_ms, 0.1) / 1000.0))
+    release_coeff = jnp.exp(-1.0 / (sr_dec * jnp.maximum(release_ms, 1.0) / 1000.0))
+    fast = ema_scan(ax, attack_coeff)
+    slow = ema_scan(ax, release_coeff)
+    env = jnp.maximum(fast, slow)
+    env = jnp.repeat(env, ENV_DECIM, axis=-1)
+    return jnp.pad(env, (0, n - env.shape[-1]), mode="edge")
 
 
 def compressor(
@@ -91,27 +100,29 @@ def limiter(x: jnp.ndarray, sr: int, threshold_db) -> jnp.ndarray:
 def reverb(
     x: jnp.ndarray, sr: int, key, room_size, damping, wet_level, width=1.0
 ) -> jnp.ndarray:
-    """Noise-IR convolution reverb, parameterized like pedalboard.Reverb."""
+    """Sparse-FIR echo-bank reverb, parameterized like pedalboard.Reverb:
+    room_size sets the tail decay time, damping a one-pole wet low-pass."""
     n = x.shape[-1]
-    ir_len = int(sr * IR_SECONDS)
-    t = jnp.arange(ir_len) / sr
-    # decay time grows with room size: T60 in ~[0.25 s, 1.6 s]
-    t60 = 0.25 + 1.35 * room_size
-    tau = t60 / 6.91  # ln(10^3)
-    noise = jax.random.normal(key, (ir_len,))
-    ir = noise * jnp.exp(-t / tau)
-    ir = ir.at[0].set(0.0)
+    delays = _tap_delays(sr)
+    t60 = 0.25 + 1.35 * room_size  # decay time grows with room size
+    tau = t60 / 6.91
+    # per-segment random tap amplitudes on the decay envelope
+    amps = jax.random.normal(key, (len(delays),)) * jnp.exp(
+        -jnp.asarray(delays / sr) / tau
+    )
 
-    fft_len = 1
-    while fft_len < n + ir_len:
-        fft_len *= 2
-    X = jnp.fft.rfft(x, n=fft_len)
-    H = jnp.fft.rfft(ir, n=fft_len)
-    # damping: first-order low-pass tilt, stronger damping -> lower cutoff
-    freqs = jnp.fft.rfftfreq(fft_len, 1.0 / sr)
+    padded = jnp.pad(x, (int(delays[-1]), 0))
+    wet = jnp.zeros_like(x)
+    for i, d in enumerate(delays):
+        start = int(delays[-1] - d)
+        wet = wet + amps[i] * jax.lax.dynamic_slice_in_dim(padded, start, n)
+    # damping: one-pole low-pass on the wet path, cutoff falls with damping
     cutoff = 500.0 + (1.0 - damping) * 8000.0
-    H = H / jnp.sqrt(1.0 + (freqs / cutoff) ** 2)
-    wet = jnp.fft.irfft(X * H, n=fft_len)[..., :n]
+    coeff = jnp.exp(-2.0 * jnp.pi * cutoff / sr)
+    wet = ema_scan(
+        wet.reshape(-1, ENV_DECIM).mean(axis=-1), coeff ** ENV_DECIM
+    )
+    wet = jnp.repeat(wet, ENV_DECIM, axis=-1)[:n]
     wet = wet / (jnp.max(jnp.abs(wet)) + 1e-8) * (jnp.max(jnp.abs(x)) + 1e-8)
     return (1.0 - wet_level) * x + wet_level * wet
 

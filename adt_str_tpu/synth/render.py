@@ -216,17 +216,29 @@ def render_batch_arrays(
     gain = vel_to_vol(velocity) * statics.class_gain[pitch]
     gain = jnp.where(mask & (pitch >= PITCH_LO) & (pitch <= PITCH_HI), gain, 0.0)
 
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, max_notes))
-    impulses = jnp.zeros((B, N_SLOTS, P), jnp.float32)
-    impulses = impulses.at[
-        b_idx.reshape(-1), slot.reshape(-1), onset_sample.reshape(-1)
-    ].add(gain.reshape(-1))
+    import os
 
-    # frequency-domain convolution, summed over slots before the inverse FFT
-    imp_f = jnp.fft.rfft(impulses, n=P, axis=-1)  # (B, N_SLOTS, F)
-    blend_f = jnp.fft.rfft(blend, n=P, axis=-1)
-    wav = jnp.fft.irfft(jnp.sum(imp_f * blend_f, axis=1), n=P, axis=-1)
-    wav = wav[:, :chunk_samples].astype(jnp.float32)
+    if jax.default_backend() != "cpu" and os.environ.get("ADT_PALLAS_PLACEMENT"):
+        # Pallas placement kernel (opt-in while being tuned: the current
+        # 1-sublane layout pays ~0.5 ms/note of Mosaic dynamic-op overhead;
+        # see synth/pallas_place.py)
+        from adt_str_tpu.synth.pallas_place import place_notes
+
+        l2 = ((L + 127) // 128) * 128 + 128
+        blend_padded = jnp.pad(blend, ((0, 0), (0, 0), (0, l2 - L)))
+        wav = place_notes(blend_padded, slot, onset_sample, gain, chunk_samples)
+    else:
+        # portable path: per-slot impulse trains convolved in the frequency
+        # domain (CPU FFTs are fast; TPU FFT throughput is poor)
+        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, max_notes))
+        impulses = jnp.zeros((B, N_SLOTS, P), jnp.float32)
+        impulses = impulses.at[
+            b_idx.reshape(-1), slot.reshape(-1), onset_sample.reshape(-1)
+        ].add(gain.reshape(-1))
+        imp_f = jnp.fft.rfft(impulses, n=P, axis=-1)  # (B, N_SLOTS, F)
+        blend_f = jnp.fft.rfft(blend, n=P, axis=-1)
+        wav = jnp.fft.irfft(jnp.sum(imp_f * blend_f, axis=1), n=P, axis=-1)
+        wav = wav[:, :chunk_samples].astype(jnp.float32)
 
     # randomized FX with probability use_fx_prob (branch-free select)
     use_fx = jax.vmap(jax.random.uniform)(k_usefx) < use_fx_prob
