@@ -1,21 +1,26 @@
 """Pallas one-shot placement kernel: per-note scaled copies at sample offsets.
 
-The core of drum rendering is "add 128 scaled one-shot copies at arbitrary
+The core of drum rendering is "add ~128 scaled one-shot copies at arbitrary
 sample offsets into a 2.56 s buffer". Every XLA formulation measured poorly on
 TPU: a fori_loop of dynamic-update-slices costs ~0.7 ms/iteration in loop
 overhead (~90 ms/step), lane-axis `take_along_axis` gathers are pathological
 in Mosaic, and frequency-domain convolution pays TPU's weak FFT throughput
 (~110 ms/step; some sizes are outright UNIMPLEMENTED on this backend).
 
-The kernel decomposes each onset as `q*128 + r`: the blend row (padded with a
-128-zero tail) is rotated right by `r` with the hardware `dynamic_rotate`
-(`pltpu.roll` — the tail zeros wrap to the front, so rotation == shift), then
-accumulated at the lane-aligned offset `q` with a provably 128-aligned dynamic
-slice. All note metadata (slot, q, r) rides in scalar-prefetch SMEM; the 27
-per-instrument blend rows stay resident in VMEM for the whole segment.
+Layout is the whole game: audio lives as (rows, 128) tiles — full (8, 128)
+vregs — not as 1-sublane vectors (a (1, L) layout measured ~0.5 ms *per
+note*; this layout executes >1000 note-ops inside one kernel's fixed
+overhead). A flat shift by `onset = q*128 + r` decomposes into
+- a hardware lane rotate by `r` (`pltpu.roll(axis=1)`),
+- a sublane rotate by one row for the wrapped lanes (`pltpu.roll(axis=0)`),
+  selected where `lane < r` (the one-shot's zero tail rows make the wrap
+  carry-in correct),
+- a sublane-aligned dynamic-slice accumulation at row `q` into the output.
 
-Grid: (batch,). Everything else (timbre sampling, mixup blending, FX, master
-gain) stays in XLA around this kernel (`synth/render.py`).
+Note metadata (slot, q, r) rides in scalar-prefetch SMEM; the 27
+per-instrument blend rows stay VMEM-resident for the whole segment. Grid:
+(batch,). Everything else (timbre sampling, mixup blending, FX, master gain)
+stays in XLA around this kernel (`synth/render.py`).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+ROW_PAD = 8  # zero rows appended after the one-shot (>= 1 for the wrap carry)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -35,34 +41,47 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    slot_ref,  # (B, MAX_NOTES) i32  scalar prefetch
-    q_ref,  # (B, MAX_NOTES) i32  aligned offsets (multiples of 128)
-    r_ref,  # (B, MAX_NOTES) i32  sub-lane shifts [0, 128)
-    gain_ref,  # (B, 1, MAX_NOTES) f32 VMEM
-    blend_ref,  # (1, N_SLOTS, L2) f32 VMEM
-    out_ref,  # (1, 1, P2) f32 VMEM
+    q_ref,  # (B, MAX_NOTES) i32 row offsets (onset // 128)
+    r_ref,  # (B, MAX_NOTES) i32 lane shifts (onset % 128)
+    gain_ref,  # (B, MAX_NOTES) f32 SMEM
+    bnotes_ref,  # (1, NOTE_TILE, R, 128) f32 VMEM — this tile's blend rows
+    out_ref,  # (1, PR, 128) f32 VMEM, revisited across note tiles
     *,
-    max_notes: int,
-    l2: int,
+    note_tile: int,
+    rows: int,
 ):
+    # All VMEM *reads* are static: per-note blend rows are pre-gathered in XLA
+    # (leading-axis row gather = clean DMA) and streamed tile-by-tile through
+    # the grid. Dynamic-offset VMEM reads measured ~2 ms/note in Mosaic; the
+    # dynamic-offset *accumulation* into out_ref is cheap. The note loop is
+    # fully unrolled — unrolled vector blocks pipeline at <1 us/note, while a
+    # `lax.fori_loop` iteration costs ~0.5 ms of loop overhead.
     b = pl.program_id(0)
-    out_ref[...] = jnp.zeros_like(out_ref)
-    for n in range(max_notes):
-        slot = slot_ref[b, n]
-        q = pl.multiple_of(q_ref[b, n], LANE)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    for i in range(note_tile):
+        n = t * note_tile + i
+        q = q_ref[b, n]
         r = r_ref[b, n]
-        g = gain_ref[0, 0, n]
-        row = blend_ref[0, pl.ds(slot, 1), :]  # (1, L2)
-        rolled = pltpu.roll(row, r, 1)
+        g = gain_ref[b, n]
 
         @pl.when(g != 0.0)
         def _():
-            out_ref[0, :, pl.ds(q, l2)] = out_ref[0, :, pl.ds(q, l2)] + rolled * g
+            x = bnotes_ref[0, i]  # (rows, 128), static index
+            a = pltpu.roll(x, r, 1)  # lane rotate
+            c = pltpu.roll(a, 1, 0)  # row carry for wrapped lanes
+            contrib = jnp.where(lane >= r, a, c) * g
+            out_ref[0, pl.ds(q, rows), :] = out_ref[0, pl.ds(q, rows), :] + contrib
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_samples", "interpret"))
 def place_notes(
-    blend: jnp.ndarray,  # (B, N_SLOTS, L2) f32, L2 = L + 128 zero tail, L2 % 128 == 0
+    blend: jnp.ndarray,  # (B, N_SLOTS, L) f32, L % 128 == 0
     slot: jnp.ndarray,  # (B, MAX_NOTES) i32 in [0, N_SLOTS)
     onset: jnp.ndarray,  # (B, MAX_NOTES) i32 sample offsets in [0, chunk)
     gain: jnp.ndarray,  # (B, MAX_NOTES) f32, 0 for masked notes
@@ -70,38 +89,61 @@ def place_notes(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """-> (B, chunk_samples) rendered audio (overruns clipped)."""
-    B, n_slots, l2 = blend.shape
-    assert l2 % LANE == 0, "blend rows must be padded to a multiple of 128"
+    B, n_slots, L = blend.shape
+    assert L % LANE == 0, "one-shot rows must be padded to a multiple of 128"
+    assert chunk_samples % LANE == 0
     max_notes = slot.shape[1]
-    p2 = _round_up(chunk_samples, LANE) + l2
+    rows = _round_up(L // LANE + ROW_PAD, 8)
+    pr = chunk_samples // LANE + rows
 
-    q = (onset // LANE) * LANE
-    r = onset % LANE
+    note_tile = 8
+    pad_n = (-max_notes) % note_tile
+    if pad_n:
+        slot = jnp.pad(slot, ((0, 0), (0, pad_n)))
+        onset = jnp.pad(onset, ((0, 0), (0, pad_n)))
+        gain = jnp.pad(gain, ((0, 0), (0, pad_n)))
+        max_notes += pad_n
+    blend4 = jnp.pad(
+        blend.reshape(B, n_slots, L // LANE, LANE),
+        ((0, 0), (0, 0), (0, rows - L // LANE), (0, 0)),
+    )
+    # per-note blend rows via a one-hot MXU matmul — an XLA advanced-indexing
+    # gather of the same (B, N, rows, 128) result measured ~8 s (!) on TPU,
+    # the 27-way contraction runs in a few ms
+    onehot = jax.nn.one_hot(slot.astype(jnp.int32), n_slots, dtype=blend4.dtype)
+    bnotes = jnp.einsum(
+        "bns,bsrl->bnrl", onehot, blend4, preferred_element_type=jnp.float32
+    )
+    # materialize bnotes before the kernel: without the barrier XLA fuses the
+    # einsum into the pallas block fetches (measured 6 s instead of ~10 ms)
+    bnotes = jax.lax.optimization_barrier(bnotes)
+
+    q = (onset.astype(jnp.int32) // LANE).astype(jnp.int32)
+    r = (onset.astype(jnp.int32) % LANE).astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, max_notes=max_notes, l2=l2),
+        functools.partial(_kernel, note_tile=note_tile, rows=rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(B,),
+            num_scalar_prefetch=2,
+            grid=(B, max_notes // note_tile),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (1, 1, max_notes), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, n_slots, l2), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                    (1, note_tile, rows, LANE),
+                    lambda b, t, *_: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, p2), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, pr, LANE), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 1, p2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, pr, LANE), jnp.float32),
         interpret=interpret,
     )(
-        slot.astype(jnp.int32),
-        q.astype(jnp.int32),
-        r.astype(jnp.int32),
-        gain[:, None, :].astype(jnp.float32),
-        blend.astype(jnp.float32),
+        q,
+        r,
+        gain.astype(jnp.float32),
+        bnotes.astype(jnp.float32),
     )
-    return out[:, 0, :chunk_samples]
+    return out.reshape(B, pr * LANE)[:, :chunk_samples]

@@ -216,16 +216,14 @@ def render_batch_arrays(
     gain = vel_to_vol(velocity) * statics.class_gain[pitch]
     gain = jnp.where(mask & (pitch >= PITCH_LO) & (pitch <= PITCH_HI), gain, 0.0)
 
-    import os
-
-    if jax.default_backend() != "cpu" and os.environ.get("ADT_PALLAS_PLACEMENT"):
-        # Pallas placement kernel (opt-in while being tuned: the current
-        # 1-sublane layout pays ~0.5 ms/note of Mosaic dynamic-op overhead;
-        # see synth/pallas_place.py)
+    if jax.default_backend() != "cpu" and chunk_samples % 128 == 0:
+        # Pallas placement kernel: hardware rotate + sublane-aligned
+        # accumulation on (rows, 128) tiles (see synth/pallas_place.py for
+        # why the XLA formulations lose on TPU)
         from adt_str_tpu.synth.pallas_place import place_notes
 
-        l2 = ((L + 127) // 128) * 128 + 128
-        blend_padded = jnp.pad(blend, ((0, 0), (0, 0), (0, l2 - L)))
+        l_pad = ((L + 127) // 128) * 128
+        blend_padded = jnp.pad(blend, ((0, 0), (0, 0), (0, l_pad - L)))
         wav = place_notes(blend_padded, slot, onset_sample, gain, chunk_samples)
     else:
         # portable path: per-slot impulse trains convolved in the frequency
