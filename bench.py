@@ -1,9 +1,10 @@
-"""Benchmark: flagship training-step throughput on real TPU hardware.
+"""Benchmark: flagship end-to-end training-step throughput on real TPU.
 
-Measures end-to-end jitted train-step time (forward bf16 + fp32 loss +
-backward + AdamW update) on the setting-1 flagship model (d_model=768, 4+4
-layers, vocab 1400, batch 64 of 2.56 s @ 24 kHz audio —
-configs/train/setting-1.yaml parity) on the available chip(s).
+Measures the *production* train step — on-device drum synthesis (one-shot
+gathers, mixup, Pallas placement kernel, randomized FX) fused with the
+Pallas log-mel frontend, bf16 transformer forward/backward, fp32 loss, and
+the AdamW update — on the setting-1 flagship model (d_model=768, 4+4 layers,
+vocab 1400, batch 64 of 2.56 s @ 24 kHz; configs/train/setting-1.yaml parity).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -24,40 +25,81 @@ import numpy as np
 REF_STEPS_PER_SEC = 1.0  # estimated reference throughput (see module docstring)
 BATCH_SIZE = 64
 MAX_TOKENS = 256
+MAX_NOTES = 128
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
+def _make_notes(rng, batch_size):
+    notes = np.zeros((batch_size, MAX_NOTES, 4), np.float32)
+    mask = np.zeros((batch_size, MAX_NOTES), bool)
+    for i in range(batch_size):
+        n = int(rng.integers(3, 40))
+        onsets = np.sort(rng.uniform(0, 2.4, n))
+        notes[i, :n] = np.stack(
+            [
+                onsets,
+                onsets + 0.05,
+                rng.choice([35, 36, 38, 41, 42, 46, 48], n),
+                rng.integers(30, 127, n),
+            ],
+            axis=1,
+        )
+        mask[i, :n] = True
+    return notes, mask
+
+
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     # XLA's hardware RngBitGenerator for dropout masks: threefry mask
     # generation otherwise costs ~73 ms of a ~140 ms step (measured on v5e)
     jax.config.update("jax_default_prng_impl", "rbg")
 
     from __graft_entry__ import _flagship_config, _make_batch
-    from adt_str_tpu.config import TrainingConfig
+    from adt_str_tpu.config import SynthConfig, TrainingConfig
     from adt_str_tpu.models import adt
     from adt_str_tpu.parallel import mesh as mesh_lib
-    from adt_str_tpu.parallel.train_step import init_train_state, make_train_step
+    from adt_str_tpu.parallel.train_step import init_train_state, make_synth_train_step
+    from adt_str_tpu.synth.bank import make_test_bank
+    from adt_str_tpu.synth.render import SynthStatics
     from adt_str_tpu.training.optimizer import make_optimizer
 
     cfg = _flagship_config()
+    rng = np.random.default_rng(0)
+    bank = make_test_bank(
+        rng, [35, 36, 38, 41, 42, 46, 48, 49],
+        sample_rate=cfg.sample_rate, max_len=30720, n_per_bin=8,
+    )
+    statics = SynthStatics.from_bank(bank)
+    synth_cfg = SynthConfig(
+        sample_rate=cfg.sample_rate, input_sec=cfg.input_sec,
+        mixup_range=0.8, use_fx_prob=0.3, similarity_threshold=0.8,
+        max_notes=MAX_NOTES, max_oneshot_sec=1.28,
+    )
+
     params = adt.init_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(
         TrainingConfig(learning_rate=1e-4, warmup_ratio=0.1),
-        total_steps=10_000,
-        params=params,
+        total_steps=10_000, params=params,
     )
 
     n_dev = len(jax.devices())
-    batch = _make_batch(cfg, batch_size=BATCH_SIZE, max_tokens=MAX_TOKENS)
+    base = _make_batch(cfg, batch_size=BATCH_SIZE, max_tokens=MAX_TOKENS)
+    notes, mask = _make_notes(rng, BATCH_SIZE)
+    batch = {
+        "notes": jnp.asarray(notes),
+        "note_mask": jnp.asarray(mask),
+        "tokens": base["tokens"],
+        "token_lengths": base["token_lengths"],
+    }
     if n_dev > 1:
         mesh = mesh_lib.make_mesh(n_data=n_dev, n_model=1)
         params = mesh_lib.shard_params(mesh, params)
         batch = mesh_lib.shard_batch(mesh, batch)
 
-    step = make_train_step(cfg, tx)
+    step = make_synth_train_step(cfg, synth_cfg, statics, tx)
     state = init_train_state(params, tx)
 
     rngs = [jax.random.PRNGKey(i) for i in range(WARMUP_STEPS + MEASURE_STEPS)]
@@ -78,7 +120,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train_steps_per_sec_bs64",
+                "metric": "synth_train_steps_per_sec_bs64",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
