@@ -73,6 +73,28 @@ def _maybe_wandb(cfg: FrameworkConfig):
         return None
 
 
+def evaluate_loss(params, model_cfg, dataset, batch_size: int, rng=None) -> float:
+    """Teacher-forced validation loss over a dataset (parity with
+    `ADTTrainer.evaluate`, train.py:80-141: same tgt_input/labels/padding-mask
+    contract as training, mean over batches)."""
+    from adt_str_tpu.parallel.train_step import make_eval_step
+
+    rng = rng or np.random.default_rng(0)
+    step = make_eval_step(model_cfg)
+    total, batches = 0.0, 0
+    for batch in dataset.batches(batch_size, rng, shuffle=False):
+        device_batch = {
+            k: jax.numpy.asarray(v)
+            for k, v in batch.items()
+            if k in ("wavs", "tokens", "token_lengths")
+        }
+        if "wavs" not in device_batch:
+            raise ValueError("evaluate_loss needs a real-audio dataset (wavs)")
+        total += float(step(params, device_batch))
+        batches += 1
+    return total / batches if batches else 0.0
+
+
 def train(cfg: FrameworkConfig) -> TrainState:
     setup_logging(cfg.logging.log_level)
     mesh_lib.maybe_initialize_distributed()

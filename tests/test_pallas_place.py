@@ -1,0 +1,67 @@
+"""Placement-kernel tests (interpret mode on CPU) vs a numpy oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adt_str_tpu.synth.pallas_place import place_notes
+
+
+def oracle(blend, slot, onset, gain, chunk):
+    B, S, L = blend.shape
+    ref = np.zeros((B, chunk + L + 4096), np.float32)
+    for b in range(B):
+        for n in range(slot.shape[1]):
+            if gain[b, n] == 0:
+                continue
+            o = onset[b, n]
+            ref[b, o : o + L] += blend[b, slot[b, n]] * gain[b, n]
+    return ref[:, :chunk]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_place_notes_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    B, S, L, N, C = 2, 4, 256, 11, 1280
+    blend = rng.normal(size=(B, S, L)).astype(np.float32)
+    slot = rng.integers(0, S, (B, N)).astype(np.int32)
+    onset = rng.integers(0, C, (B, N)).astype(np.int32)
+    gain = rng.uniform(0.2, 1.0, (B, N)).astype(np.float32)
+    gain[0, 3] = 0.0
+    out = np.asarray(
+        place_notes(
+            jnp.asarray(blend), jnp.asarray(slot), jnp.asarray(onset),
+            jnp.asarray(gain), C, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, oracle(blend, slot, onset, gain, C), atol=1e-5)
+
+
+def test_place_notes_edges():
+    """Onset 0, onset at the last sample (full clip), overlapping notes."""
+    B, S, L, C = 1, 1, 128, 512
+    blend = np.ones((B, S, L), np.float32)
+    slot = np.zeros((B, 3), np.int32)
+    onset = np.array([[0, C - 1, 64]], np.int32)
+    gain = np.array([[1.0, 2.0, 0.5]], np.float32)
+    out = np.asarray(
+        place_notes(jnp.asarray(blend), jnp.asarray(slot), jnp.asarray(onset),
+                    jnp.asarray(gain), C, interpret=True)
+    )
+    np.testing.assert_allclose(out, oracle(blend, slot, onset, gain, C), atol=1e-6)
+    # the note at C-1 contributes exactly one sample before clipping
+    assert out[0, C - 1] == pytest.approx(2.0)
+    assert out[0, 0] == pytest.approx(1.0)
+    assert out[0, 64] == pytest.approx(1.0 + 0.5)
+
+
+def test_place_notes_empty():
+    out = np.asarray(
+        place_notes(
+            jnp.zeros((1, 2, 128)), jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4)), 256, interpret=True,
+        )
+    )
+    assert (out == 0).all()

@@ -63,3 +63,12 @@ def test_tmidt_training(tmp_path):
     state = train(cfg)
     assert int(state.step) == 3
     assert ckpt_lib.latest_checkpoint(tmp_path / "out" / "tmidt-e2e") is not None
+
+    # teacher-forced validation loss (ADTTrainer.evaluate parity)
+    from adt_str_tpu.data.datasets import TMIDTDataset
+    from adt_str_tpu.domain.tokenizer import MidiTokenizer
+    from adt_str_tpu.training.trainer import evaluate_loss
+
+    ds = TMIDTDataset(cfg.train_data, MidiTokenizer(cfg.tokenizer))
+    loss = evaluate_loss(state.params, cfg.model, ds, batch_size=4)
+    assert np.isfinite(loss) and loss > 0
