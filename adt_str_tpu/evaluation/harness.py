@@ -92,6 +92,13 @@ def run_inference(
         raw_wavs = batch["wavs"]
         if max(len(w) for w in raw_wavs) < 1024:
             continue
+        # pad ragged final batches with silent rows so every batch reuses the
+        # same compiled decode program (a new batch shape costs a recompile)
+        n_real = len(raw_wavs)
+        if n_real < cfg.batch_size:
+            raw_wavs = list(raw_wavs) + [
+                np.zeros(1024, np.float32) for _ in range(cfg.batch_size - n_real)
+            ]
         wavs = _pad_batch(raw_wavs, model_config.chunk_samples)
         if cfg.use_beam_search:
             tokens_pred = decode_lib.beam_search_decode(
@@ -114,7 +121,7 @@ def run_inference(
             )
         tokens_pred = np.asarray(tokens_pred)
 
-        for i in range(len(raw_wavs)):
+        for i in range(n_real):
             gt = np.asarray(gt_notes[i]).reshape(-1, 4) if len(gt_notes[i]) else []
             pred_notes = decode_tokens_to_notes(tokenizer, tokens_pred[i])
 
