@@ -1,0 +1,115 @@
+"""CLI integration tests: inference.py and eval.py end-to-end via subprocess
+(tiny model checkpoint + synthetic data, pinned to CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import yaml
+
+import jax
+
+from adt_str_tpu.config import ModelConfig
+from adt_str_tpu.models import adt
+from adt_str_tpu.training.checkpoint import export_safetensors
+from adt_str_tpu.utils.audio_io import write_wav
+from adt_str_tpu.utils.midi_io import read_midi
+
+REPO = Path(__file__).resolve().parent.parent
+SR = 4000
+
+MODEL_SECTION = dict(
+    enc_layers=1, dec_layers=1, nhead=2, d_query=16, dropout=0.0,
+    tgt_vocab_size=1400, n_mels=16, compute_dtype="float32", max_positions=64,
+)
+SHARED = dict(input_sec=0.64, time_res=0.01, win_length=256, sample_rate=SR)
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    cfg = ModelConfig(**MODEL_SECTION, **SHARED)
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    export_safetensors(params, ckpt / "model.safetensors")
+    return str(ckpt)
+
+
+def _run(args, cwd=REPO):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+
+
+def test_inference_cli(tmp_path, checkpoint_dir):
+    wav_path = tmp_path / "in.wav"
+    rng = np.random.default_rng(0)
+    write_wav(wav_path, (rng.normal(size=int(1.5 * SR)) * 0.1).astype(np.float32), SR)
+
+    cfg = {
+        "shared": SHARED,
+        "model": MODEL_SECTION,
+        "tokenizer": {"ADTOF_mapping": False, "BOS_token": 2, "EOS_token": 3,
+                      "pad_token": 1, "silence_token": 0, "add_velocity": True},
+        "inference": {"checkpoint_path": checkpoint_dir, "max_length": 12},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    out_dir = tmp_path / "out"
+    proc = _run(["inference.py", str(wav_path), str(cfg_path), "-o", str(out_dir)])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    midi_path = out_dir / "in.mid"
+    assert midi_path.exists()
+    # random-weight model may or may not emit notes; the MIDI must parse
+    instruments = read_midi(midi_path)
+    assert isinstance(instruments, list)
+
+
+def test_eval_cli(tmp_path, checkpoint_dir):
+    # tiny ENST-style parquet
+    rng = np.random.default_rng(1)
+    rows = {"audio_id": [], "drummer": [], "audio": [], "sample_rate": [], "notes": []}
+    for i in range(3):
+        audio = (rng.normal(size=int(0.64 * SR)) * 0.2).astype(np.float32)
+        notes = np.array([[0.1, 0.2, 38, 100]], dtype=np.float32)
+        rows["audio_id"].append(f"drummer_1_{i}_minus-one_x.wav")
+        rows["drummer"].append("drummer_1")
+        rows["audio"].append(audio.tobytes())
+        rows["sample_rate"].append(SR)
+        rows["notes"].append(notes.tobytes())
+    schema = pa.schema([
+        pa.field("audio_id", pa.string()), pa.field("drummer", pa.string()),
+        pa.field("audio", pa.binary()), pa.field("sample_rate", pa.int32()),
+        pa.field("notes", pa.binary()),
+    ])
+    parquet = tmp_path / "enst.parquet"
+    pq.write_table(pa.table(rows, schema=schema), parquet)
+
+    out_dir = tmp_path / "results"
+    cfg = {
+        "shared": SHARED,
+        "model": MODEL_SECTION,
+        "tokenizer": {"ADTOF_mapping": True, "BOS_token": 2, "EOS_token": 3,
+                      "pad_token": 1, "silence_token": 0, "add_velocity": True},
+        "EvalDatasetConfig": {"dataset_path": str(parquet), "dataset_name": "ENST",
+                              "minus_one": True, "splits": None, "drummers": None},
+        "inference": {"checkpoint_path": checkpoint_dir, "batch_size": 2,
+                      "max_length": 12, "use_beam_search": False,
+                      "output_path": str(out_dir)},
+    }
+    cfg_path = tmp_path / "eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    proc = _run(["eval.py", str(cfg_path), "-e"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads((out_dir / "metrics.json").read_text())
+    assert "all" in metrics
+    assert (out_dir / "confusion_matrix.csv").exists()
