@@ -346,3 +346,36 @@ def _normalize_splits(splits) -> Optional[list[int]]:
     if isinstance(splits, int):
         return [splits]
     return list(splits)
+
+
+def prefetch_batches(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch (double buffering) over a batch iterator.
+
+    The reference overlaps host work with device work via DataLoader worker
+    processes (train.py:235-237); here host batch assembly is cheap (numpy
+    tokenization of note arrays — synthesis is on device), so one prefetch
+    thread suffices to hide it behind the device step."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item

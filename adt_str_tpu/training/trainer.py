@@ -167,12 +167,18 @@ def train(cfg: FrameworkConfig) -> TrainState:
     step_key = jax.random.PRNGKey(cfg.experiment.seed + 1)
     profile_steps = cfg.logging.profile_steps or []
 
+    from adt_str_tpu.data.datasets import prefetch_batches
+
     step_idx = start_step
     t_last = time.perf_counter()
     epoch = 0
     done = False
     while not done:
-        for batch in dataset.batches(global_batch, rng, shuffle=True):
+        batches = prefetch_batches(
+            dataset.batches(global_batch, rng, shuffle=True),
+            depth=max(1, data_cfg.prefetch),
+        )
+        for batch in batches:
             if step_idx >= total_steps:
                 done = True
                 break

@@ -208,3 +208,18 @@ def test_collate_quirk():
     ]
     b = collate(examples)
     np.testing.assert_array_equal(b["token_lengths"], [5, 6, 6])
+
+
+def test_prefetch_batches_order_and_errors():
+    from adt_str_tpu.data.datasets import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch_batches(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
