@@ -6,8 +6,9 @@ yaml), the env-var substitution helper (`train.py:331-341`), and the
 section-splat idioms (`shared` splatted into dataset/synth/model sections,
 `train.py:270-299`) — without an OmegaConf dependency (plain PyYAML).
 
-Typed sections mirror `config.py:8-119` of the reference but as frozen-free
-dataclasses with defaults so partial configs validate cleanly.
+Typed sections mirror `config.py:8-119` of the reference as frozen (hashable,
+jit-static-friendly) dataclasses with defaults so partial configs validate
+cleanly.
 """
 
 from __future__ import annotations

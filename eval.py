@@ -21,7 +21,7 @@ from adt_str_tpu.training.trainer import setup_logging
 logger = logging.getLogger(__name__)
 
 
-def load_params(checkpoint_path: str, model_config):
+def load_params(checkpoint_path: str):
     """safetensors / pytorch_model.bin (reference format, both exported by our
     trainer too) from a checkpoint directory."""
     return load_params_from_reference_checkpoint(checkpoint_path)
@@ -34,7 +34,7 @@ def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
         raise ValueError("inference.checkpoint_path is required")
 
     logger.info("Loading model from checkpoint: %s", checkpoint_path)
-    params = load_params(checkpoint_path, cfg.model)
+    params = load_params(checkpoint_path)
 
     tokenizer = MidiTokenizer(cfg.tokenizer)
     assert cfg.eval_data is not None, "EvalDatasetConfig section is required"
