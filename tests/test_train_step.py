@@ -136,3 +136,47 @@ def test_decay_mask_excludes_norm_and_bias():
     assert mask["project_to_mel"]["b"] is False
     assert mask["encoder"]["final_ln"]["scale"] is False
     assert mask["decoder"]["embedding"] is True
+
+
+def test_adamw_matches_torch_single_update():
+    """One AdamW update parity vs torch.optim.AdamW with identical grads,
+    including the HF no-decay rule for biases/LayerNorm params."""
+    import torch
+
+    from adt_str_tpu.training.optimizer import make_optimizer
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 3)).astype(np.float32)
+    b = rng.normal(size=(3,)).astype(np.float32)
+    gw = rng.normal(size=(4, 3)).astype(np.float32)
+    gb = rng.normal(size=(3,)).astype(np.float32)
+    lr, wd = 1e-3, 0.1
+
+    params = {"layer": {"w": jnp.asarray(w), "b": jnp.asarray(b)}}
+    grads = {"layer": {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}}
+    tcfg = TrainingConfig(
+        learning_rate=lr, weight_decay=wd, warmup_ratio=0.0, max_grad_norm=1e9
+    )
+    tx, _ = make_optimizer(tcfg, total_steps=10_000_000, params=params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    import optax
+
+    new_params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b.copy()))
+    opt = torch.optim.AdamW(
+        [{"params": [tw], "weight_decay": wd}, {"params": [tb], "weight_decay": 0.0}],
+        lr=lr, betas=(0.9, 0.999), eps=1e-8,
+    )
+    tw.grad = torch.from_numpy(gw.copy())
+    tb.grad = torch.from_numpy(gb.copy())
+    opt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(new_params["layer"]["w"]), tw.detach().numpy(), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["layer"]["b"]), tb.detach().numpy(), atol=2e-6
+    )
