@@ -53,6 +53,9 @@ def setup_logging(log_level: str = "INFO") -> None:
         format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
         datefmt="%m/%d/%Y %H:%M:%S",
         level=getattr(logging, log_level.upper()),
+        # the TPU runtime plugin installs a root handler at import time, which
+        # would make a plain basicConfig a silent no-op
+        force=True,
     )
 
 
