@@ -181,15 +181,50 @@ class LakhDataset:
         rng: np.random.Generator,
         shuffle: bool = True,
         drop_last: bool = True,
+        skip: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[dict[str, np.ndarray]]:
-        order = np.arange(len(self))
-        if shuffle:
-            rng.shuffle(order)
-        n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
-        for b in range(n_batches):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            examples = [self.example(int(i), rng) for i in idx]
-            yield collate(examples)
+        """Batch iterator with deterministic, resumable randomness.
+
+        Per-example RNG seeds are drawn up front from `rng`, so skipping the
+        first `skip` batches (mid-epoch resume) or sharding examples across
+        hosts (`process_index/process_count`, SURVEY.md §2.4 per-host input
+        loading) reproduces exactly the same examples as a straight run.
+        """
+        yield from _epoch_batches(
+            self, batch_size, rng, shuffle, drop_last, skip, process_index, process_count
+        )
+
+
+def _epoch_batches(
+    dataset,
+    batch_size: int,
+    rng: np.random.Generator,
+    shuffle: bool,
+    drop_last: bool,
+    skip: int,
+    process_index: int,
+    process_count: int,
+) -> Iterator[dict[str, np.ndarray]]:
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    # fixed per-example seeds: resuming (skip>0) or host sharding never
+    # misaligns the augmentation stream
+    seeds = rng.integers(0, 2**62, size=len(order))
+    if process_count > 1:
+        order = order[process_index::process_count]
+        seeds = seeds[process_index::process_count]
+    n = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+    for b in range(skip, n):
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        sds = seeds[b * batch_size : (b + 1) * batch_size]
+        examples = [
+            dataset.example(int(i), np.random.default_rng(int(s)))
+            for i, s in zip(idx, sds)
+        ]
+        yield collate(examples)
 
 
 def collate(examples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
@@ -251,14 +286,11 @@ class TMIDTDataset:
         padded[: len(tokens)] = tokens
         return {"wavs": wave, "tokens": padded, "token_lengths": np.int64(len(tokens))}
 
-    def batches(self, batch_size, rng, shuffle=True, drop_last=True):
-        order = np.arange(len(self))
-        if shuffle:
-            rng.shuffle(order)
-        n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
-        for b in range(n_batches):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            yield collate([self.example(int(i), rng) for i in idx])
+    def batches(self, batch_size, rng, shuffle=True, drop_last=True, skip=0,
+                process_index=0, process_count=1):
+        yield from _epoch_batches(
+            self, batch_size, rng, shuffle, drop_last, skip, process_index, process_count
+        )
 
 
 class EvalDataset:

@@ -126,9 +126,11 @@ def train(cfg: FrameworkConfig) -> TrainState:
     params = adt.init_params(jax.random.PRNGKey(cfg.experiment.seed), model_cfg)
     logger.info("model params: %.2f M", adt.param_count(params) / 1e6)
 
-    n_devices = len(jax.devices())
-    global_batch = cfg.training.batch_size * max(1, n_devices)
-    steps_per_epoch = max(1, len(dataset) // global_batch)
+    n_devices = len(jax.local_devices())
+    process_count = jax.process_count()
+    process_index = jax.process_index()
+    global_batch = cfg.training.batch_size * max(1, n_devices)  # per process
+    steps_per_epoch = max(1, len(dataset) // (global_batch * process_count))
     total_steps = int(steps_per_epoch * float(cfg.training.num_epochs))
     if cfg.training.max_steps:
         total_steps = min(total_steps, cfg.training.max_steps)
@@ -166,7 +168,6 @@ def train(cfg: FrameworkConfig) -> TrainState:
         state = TrainState(p, o, state.step + start_step)
         logger.info("resumed from %s at step %d", resume, start_step)
 
-    rng = np.random.default_rng(cfg.experiment.seed)
     step_key = jax.random.PRNGKey(cfg.experiment.seed + 1)
     profile_steps = cfg.logging.profile_steps or []
 
@@ -174,13 +175,23 @@ def train(cfg: FrameworkConfig) -> TrainState:
 
     step_idx = start_step
     t_last = time.perf_counter()
-    epoch = 0
+    # deterministic resume: the data order and augmentation stream are keyed
+    # by (seed, epoch) and the first `skip` batches of the in-progress epoch
+    # are skipped index-only — a resumed run replays the exact remaining
+    # stream (the reference relies on HF Trainer's batch skipping)
+    epoch = start_step // steps_per_epoch
+    skip = start_step % steps_per_epoch
     done = False
     while not done:
+        epoch_rng = np.random.default_rng([cfg.experiment.seed, epoch])
         batches = prefetch_batches(
-            dataset.batches(global_batch, rng, shuffle=True),
+            dataset.batches(
+                global_batch, epoch_rng, shuffle=True, skip=skip,
+                process_index=process_index, process_count=process_count,
+            ),
             depth=max(1, data_cfg.prefetch),
         )
+        skip = 0
         for batch in batches:
             if step_idx >= total_steps:
                 done = True
