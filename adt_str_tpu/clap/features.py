@@ -69,12 +69,38 @@ def _bilinear_resize(mel: np.ndarray, out_t: int, out_f: int) -> np.ndarray:
     return (Mt @ mel @ Mf.T).astype(np.float32)
 
 
+def device_log_mel_db(waveforms) -> "np.ndarray":
+    """Batched dB log-mel on the accelerator for fixed 10 s inputs
+    (B, 480000) -> (B, 1001, 64). Uses the Pallas matmul-DFT kernel on TPU
+    and the XLA path elsewhere — this is the throughput path for
+    minutes-scale curation of ~1M one-shots (SURVEY.md §6 north star)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adt_str_tpu.ops.mel import MelFrontendParams, log_mel_spectrogram
+
+    params = MelFrontendParams(
+        sample_rate=SAMPLE_RATE, win_length=N_FFT, hop_length=HOP,
+        n_mels=N_MELS, f_min=F_MIN, f_max=F_MAX, log_mode="db",
+    )
+    wave = jnp.asarray(np.asarray(waveforms, dtype=np.float32))
+    if jax.default_backend() != "cpu":
+        from adt_str_tpu.ops.pallas_mel import pallas_log_mel
+
+        out = pallas_log_mel(wave, params, trim=False)
+    else:
+        out = log_mel_spectrogram(wave, params, trim=False)
+    return np.asarray(out)
+
+
 class ClapFeatureExtractor:
     def __init__(self, rng: np.random.Generator | None = None,
-                 replicate_hf_longer_quirk: bool = False):
+                 replicate_hf_longer_quirk: bool = False,
+                 use_device: bool = False):
         self.fb = mel_filterbank(N_FFT // 2 + 1, N_MELS, SAMPLE_RATE, F_MIN, F_MAX)
         self.rng = rng or np.random.default_rng(0)
         self.replicate_hf_longer_quirk = replicate_hf_longer_quirk
+        self.use_device = use_device
 
     def _one(self, waveform: np.ndarray) -> tuple[np.ndarray, bool]:
         waveform = np.asarray(waveform, dtype=np.float64).reshape(-1)
@@ -100,10 +126,28 @@ class ClapFeatureExtractor:
         mel = _log_mel_db(waveform, self.fb)
         return np.stack([mel] * 4), False
 
+    def _pad_short(self, waveform: np.ndarray) -> np.ndarray:
+        """repeatpad + zero pad to 10 s (short-audio branch of `_one`)."""
+        waveform = np.asarray(waveform, dtype=np.float64).reshape(-1)
+        if len(waveform) < MAX_SAMPLES:
+            n_repeat = int(MAX_SAMPLES / len(waveform))
+            waveform = np.tile(waveform, max(n_repeat, 1))
+            waveform = np.pad(waveform, (0, MAX_SAMPLES - len(waveform)))
+        return waveform
+
     def __call__(self, audios: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
         """-> (input_features (B, 4, 1001, 64) f32, is_longer (B,) bool)."""
-        mels, longer = zip(*(self._one(a) for a in audios))
-        longer = list(longer)
+        if self.use_device and all(
+            np.asarray(a).reshape(-1).shape[0] <= MAX_SAMPLES for a in audios
+        ):
+            padded = np.stack([self._pad_short(a) for a in audios])
+            mel = device_log_mel_db(padded)  # (B, 1001, 64)
+            mels = np.repeat(mel[:, None, :, :], 4, axis=1)
+            longer = [False] * len(audios)
+        else:
+            mels, longer = zip(*(self._one(a) for a in audios))
+            mels = np.stack(mels)
+            longer = list(longer)
         if self.replicate_hf_longer_quirk and not any(longer):
             longer[int(self.rng.integers(0, len(longer)))] = True
-        return np.stack(mels).astype(np.float32), np.asarray(longer, dtype=bool)
+        return np.asarray(mels, dtype=np.float32), np.asarray(longer, dtype=bool)

@@ -64,7 +64,13 @@ class ClapWrapper:
         self.audio_arch = audio_arch
         self.text_arch = text_arch
         self.sample_rate = sample_rate
-        self.feature_extractor = ClapFeatureExtractor(rng=rng)
+        import jax
+
+        # device dB-mel path (Pallas on TPU) for short clips: the curation
+        # throughput path; long clips fall back to the host extractor
+        self.feature_extractor = ClapFeatureExtractor(
+            rng=rng, use_device=jax.default_backend() != "cpu"
+        )
         self._tokenizer = None
         self._model_dir = model_name_or_dir
 

@@ -75,16 +75,25 @@ def mel_filterbank(
 
 @dataclass(frozen=True)
 class MelFrontendParams:
-    """Static constants of the frontend, derived from SharedConfig numbers."""
+    """Static constants of the frontend, derived from SharedConfig numbers.
+
+    `log_mode`:
+      - "norm": reference ADT chain — ln(mel+floor), clamp [-23, 12],
+        min-max normalize to [0, 1] (model.py:91-93);
+      - "db": CLAP preprocessing chain — 10*log10(max(mel, floor)), no
+        clamp/normalize (HF `power_to_db` with top_db=None).
+    """
 
     sample_rate: int
     win_length: int
     hop_length: int
     n_mels: int
     f_min: float = 20.0
+    f_max: float | None = None
     log_floor: float = 1e-10
     clamp_lo: float = -23.0
     clamp_hi: float = 12.0
+    log_mode: str = "norm"
 
     @property
     def n_fft(self) -> int:
@@ -139,15 +148,21 @@ def log_mel_spectrogram(
     wave = wave.astype(jnp.float32)
     window = jnp.asarray(hann_window_periodic(params.win_length))
     fb = jnp.asarray(
-        mel_filterbank(params.n_freqs, params.n_mels, params.sample_rate, params.f_min)
+        mel_filterbank(
+            params.n_freqs, params.n_mels, params.sample_rate, params.f_min,
+            params.f_max,
+        )
     )
     frames = frame_signal(wave, params.n_fft, params.hop_length) * window
     spec = jnp.fft.rfft(frames, n=params.n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, frames, n_freqs)
     mel = power @ fb  # (B, frames, n_mels)
-    logmel = jnp.log(mel + params.log_floor)
-    logmel = jnp.clip(logmel, params.clamp_lo, params.clamp_hi)
-    logmel = (logmel - params.clamp_lo) / (params.clamp_hi - params.clamp_lo)
+    if params.log_mode == "db":
+        logmel = 10.0 * jnp.log10(jnp.maximum(mel, params.log_floor))
+    else:
+        logmel = jnp.log(mel + params.log_floor)
+        logmel = jnp.clip(logmel, params.clamp_lo, params.clamp_hi)
+        logmel = (logmel - params.clamp_lo) / (params.clamp_hi - params.clamp_lo)
     if trim:
         p = params.window_pad_idxs
         logmel = logmel[:, p : logmel.shape[1] - (p + 1), :]

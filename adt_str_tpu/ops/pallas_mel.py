@@ -64,7 +64,9 @@ def _constants(params: MelFrontendParams):
     C[:, :k] = (np.cos(angle) * window[:, None]).astype(np.float32)
     S[:, :k] = (-np.sin(angle) * window[:, None]).astype(np.float32)
     M = np.zeros((k_pad, params.n_mels), np.float32)
-    M[:k] = mel_filterbank(k, params.n_mels, params.sample_rate, params.f_min)
+    M[:k] = mel_filterbank(
+        k, params.n_mels, params.sample_rate, params.f_min, params.f_max
+    )
     return C.astype(jnp.bfloat16), S.astype(jnp.bfloat16), M
 
 
@@ -79,6 +81,7 @@ def _kernel(
     log_floor: float,
     clamp_lo: float,
     clamp_hi: float,
+    db_mode: bool,
 ):
     ki = pl.program_id(1)
     frames = frames_ref[:, :]
@@ -98,8 +101,11 @@ def _kernel(
     @pl.when(ki == n_freq_tiles - 1)
     def _():
         mel = out_ref[:, :]
-        logmel = jnp.clip(jnp.log(mel + log_floor), clamp_lo, clamp_hi)
-        out_ref[:, :] = (logmel - clamp_lo) / (clamp_hi - clamp_lo)
+        if db_mode:
+            out_ref[:, :] = 10.0 * jnp.log(jnp.maximum(mel, log_floor)) / np.log(10.0)
+        else:
+            logmel = jnp.clip(jnp.log(mel + log_floor), clamp_lo, clamp_hi)
+            out_ref[:, :] = (logmel - clamp_lo) / (clamp_hi - clamp_lo)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "trim", "interpret"))
@@ -128,6 +134,7 @@ def pallas_log_mel(
         log_floor=params.log_floor,
         clamp_lo=params.clamp_lo,
         clamp_hi=params.clamp_hi,
+        db_mode=params.log_mode == "db",
     )
     out = pl.pallas_call(
         kernel,

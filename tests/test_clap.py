@@ -168,3 +168,17 @@ def test_feature_extractor_long_shrink_channel():
             found = True
             break
     assert found
+
+
+def test_device_feature_extractor_matches_host():
+    """Device (XLA on CPU here; Pallas on TPU) dB log-mel path matches the
+    numpy extractor for short audio."""
+    rng = np.random.default_rng(5)
+    audio = (rng.normal(size=48_000 * 2) * 0.3).astype(np.float64)
+    host = feat_lib.ClapFeatureExtractor()
+    dev = feat_lib.ClapFeatureExtractor(use_device=True)
+    h_feats, h_longer = host([audio])
+    d_feats, d_longer = dev([audio])
+    assert not h_longer[0] and not d_longer[0]
+    assert h_feats.shape == d_feats.shape
+    np.testing.assert_allclose(d_feats, h_feats, atol=5e-2)  # dB scale
