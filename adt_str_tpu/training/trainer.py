@@ -181,6 +181,7 @@ def train(cfg: FrameworkConfig) -> TrainState:
     # stream (the reference relies on HF Trainer's batch skipping)
     epoch = start_step // steps_per_epoch
     skip = start_step % steps_per_epoch
+    last_saved_step = -1
     done = False
     while not done:
         epoch_rng = np.random.default_rng([cfg.experiment.seed, epoch])
@@ -235,16 +236,20 @@ def train(cfg: FrameworkConfig) -> TrainState:
                     output_dir, state.params, state.opt_state, step_idx, epoch,
                     max_checkpoints=cfg.checkpoint.max_checkpoints,
                 )
+                last_saved_step = step_idx
                 logger.info("saved checkpoint %s", path)
         epoch += 1
         if step_idx >= total_steps:
             done = True
 
-    path = ckpt_lib.save_checkpoint(
-        output_dir, state.params, state.opt_state, step_idx, epoch,
-        max_checkpoints=cfg.checkpoint.max_checkpoints,
-    )
-    logger.info("training complete; final checkpoint %s", path)
+    if last_saved_step != step_idx:
+        path = ckpt_lib.save_checkpoint(
+            output_dir, state.params, state.opt_state, step_idx, epoch,
+            max_checkpoints=cfg.checkpoint.max_checkpoints,
+        )
+        logger.info("training complete; final checkpoint %s", path)
+    else:
+        logger.info("training complete (final step already checkpointed)")
     if wandb:
         wandb.finish()
     return state
