@@ -134,7 +134,7 @@ def dropout(x: jnp.ndarray, rate: float, key: Optional[jax.Array], train: bool) 
     half = -(-n // 2)
     bits = jax.random.bits(key, (half,), dtype=jnp.uint32)
     thresh = jnp.uint32(int(keep * 65536))
-    mask = jnp.concatenate([bits & 0xFFFF < thresh, (bits >> 16) < thresh])
+    mask = jnp.concatenate([(bits & 0xFFFF) < thresh, (bits >> 16) < thresh])
     mask = mask[:n].reshape(x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
