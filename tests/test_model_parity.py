@@ -191,3 +191,15 @@ def test_collate_token_lengths_quirk():
     lengths = jnp.asarray([5, 7, 7, 3])
     out = adt.collate_token_lengths(lengths)
     np.testing.assert_array_equal(np.asarray(out), [5, 6, 6, 3])
+
+
+def test_dropout_distribution_and_scale():
+    from adt_str_tpu.models.transformer import dropout
+
+    x = jnp.ones((500, 200))
+    y = np.asarray(dropout(x, 0.25, jax.random.PRNGKey(0), True))
+    keep_frac = (y != 0).mean()
+    assert abs(keep_frac - 0.75) < 0.01
+    np.testing.assert_allclose(y[y != 0], 1.0 / 0.75, rtol=1e-5)
+    # eval mode / zero rate are identity
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.25, None, False)), np.asarray(x))
