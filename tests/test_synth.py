@@ -208,3 +208,27 @@ def test_ema_scan_matches_loop():
         acc = c * acc + (1 - c) * v
         ref[i] = acc
     np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_render_deterministic_per_key(statics):
+    c = cfg()
+    notes, mask = pad_notes(
+        np.array([[0.1, 0.2, 35, 100], [0.4, 0.5, 42, 70]], dtype=np.float32), 8
+    )
+    a = np.asarray(render_segment(
+        statics, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(5),
+        chunk_samples=c.chunk_samples, sample_rate=SR,
+    ))
+    b = np.asarray(render_segment(
+        statics, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(5),
+        chunk_samples=c.chunk_samples, sample_rate=SR,
+    ))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fx_chain_stable_across_keys():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=SR).astype(np.float32) * 0.5)
+    for i in range(20):
+        y = np.asarray(fx.random_fx_chain(x, SR, jax.random.PRNGKey(i), 1.0, 1.0, 1.0))
+        assert np.isfinite(y).all(), i
