@@ -113,3 +113,57 @@ def test_eval_cli(tmp_path, checkpoint_dir):
     metrics = json.loads((out_dir / "metrics.json").read_text())
     assert "all" in metrics
     assert (out_dir / "confusion_matrix.csv").exists()
+
+
+def test_inference_cli_with_resynthesis(tmp_path, checkpoint_dir):
+    from adt_str_tpu.synth.bank import save_bank_hdf5
+
+    rng = np.random.default_rng(3)
+    entries = {
+        p: {"gold": [(np.exp(-np.arange(400) / 150) * rng.normal(size=400)).astype(np.float32)]}
+        for p in range(35, 62)
+    }
+    bank_prefix = tmp_path / "oneshot"
+    save_bank_hdf5(f"{bank_prefix}@{SR}.hdf5", entries, SR)
+
+    wav_path = tmp_path / "in.wav"
+    write_wav(wav_path, (rng.normal(size=int(1.0 * SR)) * 0.1).astype(np.float32), SR)
+    cfg = {
+        "shared": SHARED,
+        "model": MODEL_SECTION,
+        "tokenizer": {"ADTOF_mapping": False, "BOS_token": 2, "EOS_token": 3,
+                      "pad_token": 1, "silence_token": 0, "add_velocity": True},
+        "inference": {"checkpoint_path": checkpoint_dir, "max_length": 10},
+        "synthetiser": {"oneshot_path": str(bank_prefix), "similarity_threshold": 1.0,
+                        "mixup_range": 0.2, "use_fx_prob": 0.0, "max_notes": 16,
+                        "max_oneshot_sec": 0.1},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out"
+    proc = _run(["inference.py", str(wav_path), str(cfg_path), "-o", str(out_dir), "-s"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (out_dir / "in.mid").exists()
+    # resynthesis only produced when the (random) model emitted notes
+    if "Resynthesized audio saved" in proc.stdout:
+        assert (out_dir / "in_resynth.wav").exists()
+
+
+def test_hdf5_packer_cli(tmp_path):
+    rng = np.random.default_rng(4)
+    tree = tmp_path / "augmented"
+    for pitch, bin_name in [(38, "gold"), (38, "100-90"), (42, "gold")]:
+        d = tree / str(pitch) / bin_name
+        d.mkdir(parents=True, exist_ok=True)
+        write_wav(d / f"s_{bin_name}.wav",
+                  (rng.normal(size=500) * 0.3).astype(np.float32), SR)
+    proc = _run([
+        "scripts/convert_augmented_to_hdf5.py", str(tree), str(tmp_path / "bank"),
+        "--sample_rate", str(SR),
+    ])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    from adt_str_tpu.synth.bank import load_bank_hdf5
+
+    bank = load_bank_hdf5(str(tmp_path / f"bank@{SR}.hdf5"), max_len=512)
+    assert bank.n_samples == 3
+    assert set(bank.pitches()) == {38, 42}
