@@ -11,7 +11,9 @@ torchaudio.load/save + `T.Resample`) without a torchaudio dependency:
   algorithm family as torchaudio's kaiser-windowed sinc resampler;
 - peak normalization (`utils/audio_utils.py:23-24`).
 
-On-device resampling for jit'd pipelines lives in `adt_str_tpu.ops.resample`.
+Resampling is host-side by design: dataset shards are stored at the target
+rate (parsers resample once at preprocessing time), so nothing on the TPU
+path ever resamples.
 """
 
 from __future__ import annotations
