@@ -137,6 +137,7 @@ class ModelConfig(SharedConfig):
     compute_dtype: str = "bfloat16"
     max_positions: int = 2048  # sinusoidal PE table length (model.py:53)
     use_pallas_mel: bool = False
+    use_flash_attention: bool = False  # fused short-seq attention kernel
 
     @property
     def d_model(self) -> int:

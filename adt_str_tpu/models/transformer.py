@@ -174,6 +174,13 @@ def attention_core(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _fused_attention_ok(q: jnp.ndarray, train: bool, dropout_rate: float) -> bool:
+    """Fused kernel applies when attention-prob dropout is inactive and the
+    head dim is lane-aligned (the kernel has no prob-dropout support; the
+    XLA path keeps exact torch-style regularization during training)."""
+    return (not train or dropout_rate == 0.0) and q.shape[-1] % 128 == 0
+
+
 def multihead_attention(
     p: Params,
     query: jnp.ndarray,
@@ -183,6 +190,7 @@ def multihead_attention(
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
     train: bool = False,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     d_model = query.shape[-1]
     w = p["in_proj"]["w"].astype(query.dtype)
@@ -190,16 +198,38 @@ def multihead_attention(
     q = query @ w[:, :d_model] + b[:d_model]
     k = key_value @ w[:, d_model : 2 * d_model] + b[d_model : 2 * d_model]
     v = key_value @ w[:, 2 * d_model :] + b[2 * d_model :]
-    out = attention_core(
-        split_heads(q, nhead),
-        split_heads(k, nhead),
-        split_heads(v, nhead),
-        mask,
-        dropout_rate,
-        dropout_key,
-        train,
-    )
+    qh, kh, vh = split_heads(q, nhead), split_heads(k, nhead), split_heads(v, nhead)
+    if use_flash and _fused_attention_ok(qh, train, dropout_rate):
+        out = _flash_attention(qh, kh, vh, mask)
+    else:
+        out = attention_core(qh, kh, vh, mask, dropout_rate, dropout_key, train)
     return linear(p["out_proj"], merge_heads(out))
+
+
+def _flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Pad (Tq, Tk) to sublane multiples, run the fused kernel, slice back.
+    Padded keys are masked additively; padded query rows are discarded."""
+    from adt_str_tpu.ops.pallas_attention import fused_attention
+
+    B, H, Tq, hd = q.shape
+    Tk = k.shape[2]
+    T = max(-(-max(Tq, Tk) // 8) * 8, 8)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, T - Tq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, T - Tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, T - Tk), (0, 0)))
+    pad_keys = jnp.where(jnp.arange(T) >= Tk, NEG_MASK, 0.0).astype(jnp.float32)
+    m3 = jnp.broadcast_to(pad_keys, (B, T, T))
+    if mask is not None:
+        user = jnp.broadcast_to(
+            mask.astype(jnp.float32), (mask.shape[0], 1, Tq, Tk)
+        )[:, 0]
+        user = jnp.pad(user, ((0, 0), (0, T - Tq), (0, T - Tk)))
+        m3 = m3 + user  # (1, T, T) or (B, T, T) broadcasts over (B, T, T)
+    interpret = jax.default_backend() == "cpu"
+    out = fused_attention(qp, kp, vp, m3, interpret)
+    return out[:, :, :Tq, :]
 
 
 def ffn_forward(p: Params, x: jnp.ndarray, dropout_rate, key, train) -> jnp.ndarray:
@@ -217,10 +247,12 @@ def encoder_layer_forward(
     key: Optional[jax.Array],
     train: bool,
     mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     keys = jax.random.split(key, 4) if key is not None else (None,) * 4
     attn = multihead_attention(
-        p["self_attn"], x, x, nhead, mask, dropout_rate, keys[3], train
+        p["self_attn"], x, x, nhead, mask, dropout_rate, keys[3], train,
+        use_flash=use_flash,
     )
     x = layer_norm(p["norm1"], x + dropout(attn, dropout_rate, keys[0], train))
     ff = ffn_forward(p["ffn"], x, dropout_rate, keys[1], train)
@@ -238,14 +270,17 @@ def decoder_layer_forward(
     train: bool,
     self_mask: Optional[jnp.ndarray] = None,
     cross_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     keys = jax.random.split(key, 6) if key is not None else (None,) * 6
     attn = multihead_attention(
-        p["self_attn"], x, x, nhead, self_mask, dropout_rate, keys[4], train
+        p["self_attn"], x, x, nhead, self_mask, dropout_rate, keys[4], train,
+        use_flash=use_flash,
     )
     x = layer_norm(p["norm1"], x + dropout(attn, dropout_rate, keys[0], train))
     cross = multihead_attention(
-        p["cross_attn"], x, memory, nhead, cross_mask, dropout_rate, keys[5], train
+        p["cross_attn"], x, memory, nhead, cross_mask, dropout_rate, keys[5], train,
+        use_flash=use_flash,
     )
     x = layer_norm(p["norm2"], x + dropout(cross, dropout_rate, keys[1], train))
     ff = ffn_forward(p["ffn"], x, dropout_rate, keys[2], train)

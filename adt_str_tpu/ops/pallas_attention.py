@@ -1,0 +1,176 @@
+"""Fused attention kernel for short sequences (T <= a few hundred).
+
+The ADT workload's sequences are tiny by construction (encoder 246 frames,
+decoder <= 255 tokens, SURVEY.md §2.4), so an entire (T, T) attention for one
+(batch, head) fits comfortably in VMEM — no online-softmax tiling needed.
+The hypothesis was a memory-traffic win over XLA's materialized scores/probs;
+measured on v5e at the flagship shapes (B=64, H=6, T=248-256, D=128) the
+fused kernel is numerically identical but *not faster* (29.3 vs 26.1 ms
+flagship eval forward) — XLA already fuses the softmax into the attention
+matmuls well at these tiny sequence lengths. Kept as a verified, tested
+component behind `ModelConfig.use_flash_attention` (default off); it becomes
+relevant if sequence lengths grow (longer `input_sec` or decode contexts),
+where the O(T^2) HBM traffic the kernel avoids starts to dominate.
+
+Forward: out, lse = softmax(q k^T / sqrt(d) + mask) v
+Backward: standard flash equations
+    p  = exp(s - lse)
+    dv = p^T do
+    dp = do v^T
+    ds = p * (dp - rowsum(do * out))
+    dq = ds k / sqrt(d); dk = ds^T q / sqrt(d)
+
+Shapes: q, k, v: (B, H, T, D) with T % 8 == 0 and D % 128 == 0 (callers pad);
+`mask` is an optional additive float mask (B, T, T) shared across heads (the
+model's masks are head-independent: causal + key padding, model.py:173-181).
+Exposed through `models/transformer.py` behind `ModelConfig.use_flash_attention`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)  # (T, D)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (T, T)
+    if mask_ref is not None:
+        s = s + mask_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    lse_ref[0, 0, 0] = (m + jnp.log(denom))[:, 0]
+    p = (e / denom).astype(v.dtype)
+    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, scale: float
+):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if mask_ref is not None:
+        s = s + mask_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse[:, None])  # (T, T)
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq_ref[0, 0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _specs(B, H, T, D, with_mask):
+    qspec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [qspec, qspec, qspec]
+    if with_mask:
+        in_specs.append(
+            pl.BlockSpec((1, T, T), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+    return in_specs
+
+
+def _fwd(q, k, v, mask, scale, interpret):
+    B, H, T, D = q.shape
+    with_mask = mask is not None
+    kernel = functools.partial(
+        _fwd_kernel if with_mask else _fwd_kernel_nomask, scale=scale
+    )
+    args = (q, k, v, mask) if with_mask else (q, k, v)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=_specs(B, H, T, D, with_mask),
+        out_specs=(
+            pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            # lse rides as (B, H, 1, T) so its block obeys Mosaic's
+            # (sublane, lane) tiling rules
+            pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, T), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
+    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, scale=scale)
+
+
+def _bwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale):
+    _bwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_attention(q, k, v, mask=None, interpret: bool = False):
+    """(B, H, T, D) fused scaled-dot-product attention with optional additive
+    (B, T, T) mask shared over heads. T % 8 == 0, D % 128 == 0."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    out, _ = _fwd(q, k, v, mask, scale, interpret)
+    return out
+
+
+def _vjp_fwd(q, k, v, mask, interpret):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    out, lse = _fwd(q, k, v, mask, scale, interpret)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _vjp_bwd(interpret, res, do):
+    q, k, v, mask, out, lse = res
+    B, H, T, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    with_mask = mask is not None
+    kernel = functools.partial(
+        _bwd_kernel if with_mask else _bwd_kernel_nomask, scale=scale
+    )
+    ospec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, 1, 1, T), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = _specs(B, H, T, D, with_mask) + [ospec, lspec, ospec]
+    args = (q, k, v, mask, out, lse, do) if with_mask else (q, k, v, out, lse, do)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=in_specs,
+        out_specs=(ospec, ospec, ospec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, H, T, D), q.dtype) for _ in range(3)),
+        interpret=interpret,
+    )(*args)
+    dmask = None
+    if with_mask:
+        dmask = jnp.zeros_like(mask)  # masks are constants in this model
+    return dq, dk, dv, dmask
+
+
+fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
