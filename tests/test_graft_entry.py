@@ -1,0 +1,42 @@
+"""Driver-contract test for __graft_entry__.dryrun_multichip.
+
+Round-1 failure mode (VERDICT.md Missing #1): the driver invokes
+`dryrun_multichip(8)` on a host whose JAX runtime is already initialized with
+a single device; the function must self-provision an 8-device virtual CPU
+mesh (subprocess re-exec with the conftest recipe) rather than assert. This
+test reproduces the driver environment exactly: a fresh interpreter pinned to
+the CPU platform with NO device-count override, i.e. one visible device.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_self_provisions_virtual_mesh():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # strip any device-count override so the outer process sees ONE device,
+    # like the driver's single-chip TPU host
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "one synth-fused train step OK" in proc.stdout, proc.stdout
