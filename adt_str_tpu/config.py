@@ -45,11 +45,36 @@ def substitute_env_vars(content: str) -> str:
     return content
 
 
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader with a YAML 1.2-style float resolver.
+
+    The reference's YAMLs spell scientific-notation floats without a dot
+    (`learning_rate: 8e-4`, `min_learning_rate: 5e-5`,
+    `configs/train/setting-tau-0.4.yaml:8-9`). OmegaConf resolves those to
+    floats; stock PyYAML follows YAML 1.1 and loads them as *strings*, which
+    would poison the optimizer. Register the 1.2 float grammar explicitly.
+    """
+
+
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |[-+]?\.[0-9_]+(?:[eE][-+]?[0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def load_config_from_yaml(path: str | Path) -> dict:
     """Load a YAML file into a plain dict (env vars substituted)."""
     with open(path, "r") as f:
         content = f.read()
-    data = yaml.safe_load(substitute_env_vars(content))
+    data = yaml.load(substitute_env_vars(content), Loader=_Yaml12Loader)
     return data or {}
 
 

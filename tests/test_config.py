@@ -59,3 +59,47 @@ def test_shared_derived_quantities():
     cfg = FrameworkConfig.from_dict({})
     assert cfg.shared.hop_length == 240
     assert cfg.shared.chunk_samples == 61440
+
+
+def test_reference_train_yamls_load_unchanged():
+    """Config-compat contract: every train YAML shipped by the reference repo
+    (incl. the tau-sweep ablation configs, reference configs/train/*.yaml)
+    loads through FrameworkConfig.from_yaml with no edits, and the tau knob
+    lands in synthetiser.similarity_threshold."""
+    import glob
+
+    ref_yamls = sorted(glob.glob("/root/reference/configs/train/*.yaml"))
+    if not ref_yamls:
+        import pytest
+
+        pytest.skip("reference repo not present")
+    assert len(ref_yamls) == 5, ref_yamls
+    for path in ref_yamls:
+        cfg = FrameworkConfig.from_yaml(
+            path, default_path="/root/reference/configs/config_default.yaml"
+        )
+        assert cfg.model.d_model == 768
+        assert cfg.shared.sample_rate == 24000
+        if "tau" in path:
+            tau = float(path.rsplit("-", 1)[1].removesuffix(".yaml"))
+            assert cfg.synthetiser.similarity_threshold == tau
+            assert cfg.training.min_learning_rate == 5e-5
+            assert cfg.training.learning_rate == 8e-4
+
+
+def test_repo_tau_sweep_configs():
+    """The repo ships its own tau-sweep configs mirroring the reference's."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "configs" / "train"
+    for tau in (0.4, 0.6, 0.8):
+        cfg = FrameworkConfig.from_yaml(root / f"setting-tau-{tau}.yaml")
+        assert cfg.synthetiser.similarity_threshold == tau
+        assert cfg.training.min_learning_rate == 5e-5
+        assert cfg.model.d_model == 768
+    # and the default model yaml parses as a bare model section
+    from adt_str_tpu.config import ModelConfig, load_config_from_yaml, make_dataclass_from
+
+    model_d = load_config_from_yaml(root.parent / "default" / "model.yaml")
+    mc = make_dataclass_from(ModelConfig, model_d)
+    assert mc.d_model == 64 * 6 and mc.dec_layers == 3
