@@ -248,6 +248,7 @@ class LoggingConfig:
     logging_steps: int = 1
     save_every_n_steps: Optional[int] = None
     eval_every_n_steps: Optional[int] = None
+    eval_batches: int = 8  # batches per in-training eval pass (TPU addition)
     log_level: str = "INFO"
     profile_steps: Optional[list[int]] = None  # jax.profiler trace window (TPU addition)
 

@@ -117,6 +117,34 @@ def make_synth_train_step(
     return step
 
 
+def make_synth_eval_step(config: ModelConfig, synth_config, statics):
+    """Teacher-forced eval loss for note-list (Lakh) datasets: the validation
+    audio is rendered on device exactly like the training path, but under a
+    caller-fixed rng so the eval stream is identical across eval calls and
+    losses are comparable over training. (The reference cannot evaluate on
+    Lakh at all — its evaluate() consumes pre-rendered wavs, train.py:94-99.)
+    """
+    from adt_str_tpu.synth.render import render_batch
+
+    @jax.jit
+    def step(params: Params, batch: Params, rng: jax.Array):
+        keys = jax.random.split(rng, batch["notes"].shape[0])
+        wavs = render_batch(
+            statics, batch["notes"], batch["note_mask"], keys, synth_config
+        )
+        return adt.forward_loss(
+            params,
+            wavs,
+            batch["tokens"],
+            batch["token_lengths"],
+            config,
+            rng=None,
+            train=False,
+        )
+
+    return step
+
+
 def make_eval_step(config: ModelConfig):
     """Jitted teacher-forced eval loss (reference ADTTrainer.evaluate,
     train.py:80-141)."""

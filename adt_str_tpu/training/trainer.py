@@ -76,24 +76,64 @@ def _maybe_wandb(cfg: FrameworkConfig):
         return None
 
 
-def evaluate_loss(params, model_cfg, dataset, batch_size: int, rng=None) -> float:
+def evaluate_loss(
+    params,
+    model_cfg,
+    dataset,
+    batch_size: int,
+    rng=None,
+    synth_config=None,
+    statics=None,
+    max_batches: int | None = None,
+    eval_step=None,
+) -> float:
     """Teacher-forced validation loss over a dataset (parity with
     `ADTTrainer.evaluate`, train.py:80-141: same tgt_input/labels/padding-mask
-    contract as training, mean over batches)."""
-    from adt_str_tpu.parallel.train_step import make_eval_step
+    contract as training, mean over batches).
+
+    Two dataset flavors:
+    - real-audio batches ("wavs" present, e.g. TMIDT) — evaluated directly;
+    - note-list batches (Lakh) — pass `synth_config` + `statics` and the audio
+      is rendered on device under a fixed per-batch-index key, so repeated
+      eval calls see the identical audio stream and losses are comparable.
+
+    `eval_step` lets a caller reuse one jitted step across periodic in-training
+    evals (rebuilding it every call would recompile).
+    """
+    from adt_str_tpu.parallel.train_step import make_eval_step, make_synth_eval_step
 
     rng = rng or np.random.default_rng(0)
-    step = make_eval_step(model_cfg)
+    synth = synth_config is not None and statics is not None
+    if eval_step is None:
+        eval_step = (
+            make_synth_eval_step(model_cfg, synth_config, statics)
+            if synth
+            else make_eval_step(model_cfg)
+        )
+    eval_key = jax.random.PRNGKey(0)
     total, batches = 0.0, 0
     for batch in dataset.batches(batch_size, rng, shuffle=False):
-        device_batch = {
-            k: jax.numpy.asarray(v)
-            for k, v in batch.items()
-            if k in ("wavs", "tokens", "token_lengths")
-        }
-        if "wavs" not in device_batch:
-            raise ValueError("evaluate_loss needs a real-audio dataset (wavs)")
-        total += float(step(params, device_batch))
+        if max_batches is not None and batches >= max_batches:
+            break
+        if "wavs" in batch:
+            device_batch = {
+                k: jax.numpy.asarray(batch[k])
+                for k in ("wavs", "tokens", "token_lengths")
+            }
+            total += float(eval_step(params, device_batch))
+        elif "notes" in batch and synth:
+            device_batch = {
+                k: jax.numpy.asarray(batch[k])
+                for k in ("notes", "note_mask", "tokens", "token_lengths")
+            }
+            total += float(
+                eval_step(params, device_batch, jax.random.fold_in(eval_key, batches))
+            )
+        else:
+            raise ValueError(
+                "evaluate_loss needs real-audio batches (wavs) or a note-list "
+                "dataset with synth_config+statics for on-device rendering"
+            )
         batches += 1
     return total / batches if batches else 0.0
 
@@ -171,6 +211,40 @@ def train(cfg: FrameworkConfig) -> TrainState:
     step_key = jax.random.PRNGKey(cfg.experiment.seed + 1)
     profile_steps = cfg.logging.profile_steps or []
 
+    # in-training evaluation (reference eval_strategy/eval_every_n, wired):
+    # the monitored set is a fixed unshuffled prefix of the dataset — the
+    # reference ships no validation split (train.py:313 passes
+    # eval_dataset=None); Lakh eval audio is rendered on device under fixed
+    # keys so the eval stream is constant across calls.
+    eval_every = cfg.logging.eval_every_n_steps
+    eval_step_fn = None
+    if eval_every:
+        from adt_str_tpu.parallel.train_step import make_eval_step, make_synth_eval_step
+
+        if data_cfg.dataset_name == "Lakh":
+            eval_step_fn = make_synth_eval_step(model_cfg, cfg.synthetiser, synth_statics)
+        else:
+            eval_step_fn = make_eval_step(model_cfg)
+
+    def _run_eval(step_idx: int) -> None:
+        import json
+
+        e_loss = evaluate_loss(
+            state.params,
+            model_cfg,
+            dataset,
+            batch_size=global_batch,
+            synth_config=cfg.synthetiser if data_cfg.dataset_name == "Lakh" else None,
+            statics=synth_statics,
+            max_batches=cfg.logging.eval_batches,
+            eval_step=eval_step_fn,
+        )
+        logger.info("eval @ step %d: eval_loss=%.4f", step_idx, e_loss)
+        if wandb:
+            wandb.log({"eval_loss": e_loss}, step=step_idx)
+        with open(output_dir / "eval_history.jsonl", "a") as f:
+            f.write(json.dumps({"step": step_idx, "eval_loss": e_loss}) + "\n")
+
     from adt_str_tpu.data.datasets import prefetch_batches
 
     step_idx = start_step
@@ -228,6 +302,8 @@ def train(cfg: FrameworkConfig) -> TrainState:
                     wandb.log(
                         {"loss": loss, "lr": lr, "steps_per_sec": sps}, step=step_idx
                     )
+            if eval_every and step_idx % eval_every == 0:
+                _run_eval(step_idx)
             if (
                 cfg.logging.save_every_n_steps
                 and step_idx % cfg.logging.save_every_n_steps == 0

@@ -269,3 +269,41 @@ def test_batches_skip_and_process_sharding(tmp_path):
     s0 = run(pi=0, pc=2)
     s1 = run(pi=1, pc=2)
     assert len(s0) + len(s1) <= len(full) and len(s0) >= 1 and len(s1) >= 1
+
+
+def test_process_sharding_disjoint_complete_coverage():
+    """Multi-host contract (VERDICT r1 #9): across process_index values the
+    epoch's example indices are disjoint and their union is the complete
+    epoch, and each example's augmentation seed is identical to the
+    single-process stream (host sharding never perturbs augmentation)."""
+    from adt_str_tpu.data.datasets import _epoch_batches
+
+    class Stub:
+        def __len__(self):
+            return 24
+
+        def example(self, i, rng):
+            return {
+                "tokens": np.array([i, int(rng.integers(0, 2**31))]),
+                "token_lengths": np.int64(1),
+            }
+
+    ds = Stub()
+
+    def run(pi, pc):
+        rng = np.random.default_rng([5, 1])
+        out = []
+        for batch in _epoch_batches(ds, 4, rng, True, True, 0, pi, pc):
+            out.extend((int(i), int(s)) for i, s in batch["tokens"])
+        return out
+
+    single = run(0, 1)
+    assert sorted(i for i, _ in single) == list(range(24))
+    seed_of = dict(single)
+    for pc in (2, 3):
+        shards = [run(pi, pc) for pi in range(pc)]
+        seen = [p for shard in shards for p in shard]
+        idxs = [i for i, _ in seen]
+        assert sorted(idxs) == list(range(24)), f"pc={pc} not a partition"
+        for i, s in seen:
+            assert s == seed_of[i], f"pc={pc} changed augmentation seed of {i}"

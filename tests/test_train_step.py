@@ -180,3 +180,114 @@ def test_adamw_matches_torch_single_update():
     np.testing.assert_allclose(
         np.asarray(new_params["layer"]["b"]), tb.detach().numpy(), atol=2e-6
     )
+
+
+def make_uniform_batch(cfg, B=8, T=12, n_valid=10, seed=0):
+    """Batch with identical per-row token counts, so microbatch CE means
+    average exactly to the full-batch mean (needed for accumulation
+    equivalence)."""
+    rng = np.random.default_rng(seed)
+    wave = rng.normal(size=(B, cfg.chunk_samples)).astype(np.float32) * 0.1
+    tokens = np.full((B, T), 1, dtype=np.int32)
+    tokens[:, 0] = 2
+    tokens[:, 1 : n_valid - 1] = rng.integers(4, 40, (B, n_valid - 2))
+    tokens[:, n_valid - 1] = 3
+    lengths = np.full(B, n_valid, dtype=np.int32)
+    return {
+        "wavs": jnp.asarray(wave),
+        "tokens": jnp.asarray(tokens),
+        "token_lengths": jnp.asarray(adt.collate_token_lengths(jnp.asarray(lengths))),
+    }
+
+
+def _split(batch, lo, hi):
+    return {k: v[lo:hi] for k, v in batch.items()}
+
+
+def test_gradient_accumulation_equivalence():
+    """2 micro-steps at bs=B with gradient_accumulation_steps=2 produce the
+    same parameters as 1 step at bs=2B (reference knob train.py:239)."""
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    full = make_uniform_batch(cfg, B=8)
+    kw = dict(learning_rate=1e-3, warmup_ratio=0.0, weight_decay=1e-5, max_grad_norm=1.0)
+    tcfg_acc = TrainingConfig(gradient_accumulation_steps=2, **kw)
+    tcfg_big = TrainingConfig(**kw)
+    tx_a, _ = make_optimizer(tcfg_acc, total_steps=10, params=params)
+    tx_b, _ = make_optimizer(tcfg_big, total_steps=10, params=params)
+    step_a = make_train_step(cfg, tx_a)
+    step_b = make_train_step(cfg, tx_b)
+    rng = jax.random.PRNGKey(1)
+
+    # the train step donates its state, so give each path its own copy
+    sa = init_train_state(jax.tree.map(jnp.copy, params), tx_a)
+    sa, _ = step_a(sa, _split(full, 0, 4), rng)
+    sa, _ = step_a(sa, _split(full, 4, 8), rng)
+
+    sb = init_train_state(jax.tree.map(jnp.copy, params), tx_b)
+    sb, _ = step_b(sb, full, rng)
+
+    # Gradient-level equivalence is tight: mean of the two microbatch grads
+    # equals the full-batch grad.
+    def grads_of(batch):
+        def loss_fn(p):
+            return adt.forward_loss(
+                p, batch["wavs"], batch["tokens"], batch["token_lengths"], cfg,
+                rng=rng, train=True,
+            )
+
+        return jax.grad(loss_fn)(params)
+
+    g_half = jax.tree.map(
+        lambda x, y: (x + y) / 2, grads_of(_split(full, 0, 4)), grads_of(_split(full, 4, 8))
+    )
+    g_full = grads_of(full)
+    for a, b in zip(jax.tree.leaves(g_half), jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+    # Post-Adam params: near-zero-grad elements amplify fp noise through
+    # g/(sqrt(g^2)+eps), so compare at a tolerance that still separates
+    # semantic errors (sum-vs-mean accumulation would differ by ~lr=1e-3).
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=0)
+
+
+def test_multisteps_opt_state_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/restore mid-accumulation: the MultiSteps opt_state
+    (incl. accumulated grads) survives orbax and training continues exactly
+    as if uninterrupted."""
+    from adt_str_tpu.training import checkpoint as ckpt_lib
+
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    full = make_uniform_batch(cfg, B=8)
+    tcfg = TrainingConfig(
+        learning_rate=1e-3, warmup_ratio=0.0, gradient_accumulation_steps=2
+    )
+    tx, _ = make_optimizer(tcfg, total_steps=10, params=params)
+    step = make_train_step(cfg, tx)
+    rng = jax.random.PRNGKey(1)
+
+    # uninterrupted: 2 micro-steps (one real update); copy params — the
+    # train step donates its state
+    s_ref = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    s_ref, _ = step(s_ref, _split(full, 0, 4), rng)
+    s_ref, _ = step(s_ref, _split(full, 4, 8), rng)
+
+    # interrupted after micro-step 1: save (acc_grads hot), restore, continue
+    s = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    s, _ = step(s, _split(full, 0, 4), rng)
+    path = ckpt_lib.save_checkpoint(tmp_path / "ck", s.params, s.opt_state, step=1)
+    tx2, _ = make_optimizer(tcfg, total_steps=10, params=params)
+    template = init_train_state(params, tx2)
+    rp, ro, step_no, _ = ckpt_lib.restore_checkpoint(
+        path, {"params": template.params, "opt_state": template.opt_state}
+    )
+    assert step_no == 1
+    from adt_str_tpu.parallel.train_step import TrainState
+
+    s2 = TrainState(rp, ro, jnp.asarray(1, jnp.int32))
+    s2, _ = step(s2, _split(full, 4, 8), rng)
+
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=0)

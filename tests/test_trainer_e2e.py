@@ -141,3 +141,54 @@ def test_checkpoint_gc(tmp_path, train_env):
         time.sleep(0.05)
     remaining = sorted(p.name for p in out.glob("checkpoint-*"))
     assert remaining == ["checkpoint-epoch-0-step-2", "checkpoint-epoch-0-step-3"]
+
+
+def test_in_training_eval_fires_on_lakh(train_env, tmp_path):
+    """eval_every_n_steps triggers periodic evaluate_loss during training on a
+    Lakh (on-device-synthesis) dataset; records land in eval_history.jsonl."""
+    import json
+
+    cfg = make_cfg(train_env, max_steps=4)
+    cfg.logging.eval_every_n_steps = 2
+    cfg.logging.eval_batches = 2
+    cfg.experiment.run_name = "e2e-eval"
+    train(cfg)
+
+    history_path = f"{train_env['out']}/e2e-eval/eval_history.jsonl"
+    records = [json.loads(l) for l in open(history_path)]
+    assert [r["step"] for r in records] == [2, 4]
+    assert all(np.isfinite(r["eval_loss"]) and r["eval_loss"] > 0 for r in records)
+
+
+def test_evaluate_loss_lakh_synth_path(train_env):
+    """evaluate_loss renders Lakh eval audio on device (fixed keys => the same
+    params give the same loss on repeated calls)."""
+    import jax
+
+    from adt_str_tpu.data.datasets import LakhDataset
+    from adt_str_tpu.domain.tokenizer import MidiTokenizer
+    from adt_str_tpu.models import adt
+    from adt_str_tpu.synth.bank import load_bank_hdf5
+    from adt_str_tpu.synth.render import SynthStatics
+    from adt_str_tpu.training.trainer import evaluate_loss
+
+    cfg = make_cfg(train_env)
+    tokenizer = MidiTokenizer(cfg.tokenizer)
+    ds = LakhDataset(cfg.train_data, tokenizer, max_notes=cfg.synthetiser.max_notes)
+    bank = load_bank_hdf5(
+        f"{train_env['bank_prefix']}@{SR}.hdf5",
+        int(cfg.synthetiser.max_oneshot_sec * SR),
+    )
+    statics = SynthStatics.from_bank(bank)
+    params = adt.init_params(jax.random.PRNGKey(0), cfg.model)
+
+    loss1 = evaluate_loss(
+        params, cfg.model, ds, batch_size=4,
+        synth_config=cfg.synthetiser, statics=statics, max_batches=2,
+    )
+    loss2 = evaluate_loss(
+        params, cfg.model, ds, batch_size=4,
+        synth_config=cfg.synthetiser, statics=statics, max_batches=2,
+    )
+    assert np.isfinite(loss1) and loss1 > 0
+    assert loss1 == loss2  # deterministic eval stream
