@@ -8,11 +8,16 @@ vocab 1400, batch 64 of 2.56 s @ 24 kHz; configs/train/setting-1.yaml parity).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-`vs_baseline` is measured steps/sec divided by REF_STEPS_PER_SEC, an estimate
-of the PyTorch reference's setting-1 throughput. The reference publishes no
-speed numbers (SURVEY.md §6); its pipeline is CPU-synthesis-bound by
-construction (per-note h5py open + pedalboard FX on dataloader workers,
-SURVEY.md §3.1), which bounds it to ~1 step/s at batch 64 with 16 workers.
+`vs_baseline` is measured steps/sec divided by REF_STEPS_PER_SEC, the
+*measured* upper bound of the PyTorch reference's setting-1 throughput
+(tools/measure_reference_baseline.py, results in tools/reference_baseline.json).
+The reference publishes no speed numbers (SURVEY.md §6); its pipeline is
+CPU-synthesis-bound by construction (per-note h5py open + pedalboard FX on
+dataloader workers, SURVEY.md §3.1). Running the reference's own SynthDrum
+hot loop against a layout-exact synthetic HDF5 measures 76.8 ms/sample per
+worker core (FX stubbed out — generous), i.e. with its configured 16
+dataloader workers (setting-1.yaml:11) and an infinitely fast device step,
+at most 16 / (64 * 0.0768) = 3.26 steps/s at batch 64.
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ import time
 
 import numpy as np
 
-REF_STEPS_PER_SEC = 1.0  # estimated reference throughput (see module docstring)
+REF_STEPS_PER_SEC = 3.256  # measured upper bound (see module docstring)
 BATCH_SIZE = 64
 MAX_TOKENS = 256
 MAX_NOTES = 128
