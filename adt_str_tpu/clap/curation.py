@@ -61,18 +61,54 @@ def score_to_bin_label(score_value: float, num_bins: int = 10) -> str:
 
 
 def encode_files(
-    wrapper, files: Sequence[str], sample_rate: int, batch_size: int
+    wrapper,
+    files: Sequence[str],
+    sample_rate: int,
+    batch_size: int,
+    num_workers: int | None = None,
 ) -> np.ndarray:
-    """Batched CLAP embedding of audio files -> (N, 512)."""
+    """Batched CLAP embedding of audio files -> (N, 512).
+
+    Host WAV decode+resample runs on a thread pool and is pipelined ahead of
+    the device encode (the next batches decode while the current one runs on
+    the TPU), replacing the reference's serial per-file loop
+    (`augment_data_with_CLAP.py:124-137`) — at curation scale the host decode
+    would otherwise starve the device (see tools/bench_curation.py).
+    """
+    import os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    if num_workers is None:
+        num_workers = min(16, os.cpu_count() or 1)
+
+    def load(f):
+        return normalize(load_and_resample(f, sample_rate))
+
     out = []
-    for i in range(0, len(files), batch_size):
-        batch = [
-            normalize(load_and_resample(f, sample_rate))
-            for f in files[i : i + batch_size]
-        ]
-        out.append(wrapper.get_audio_features(batch))
-        if (i // batch_size) % 50 == 0:
-            logger.info("encoded %d/%d", min(i + batch_size, len(files)), len(files))
+    n = len(files)
+    if num_workers <= 1:
+        for i in range(0, n, batch_size):
+            batch = [load(f) for f in files[i : i + batch_size]]
+            out.append(wrapper.get_audio_features(batch))
+            if (i // batch_size) % 50 == 0:
+                logger.info("encoded %d/%d", min(i + batch_size, n), n)
+        return np.concatenate(out, axis=0)
+
+    prefetch = batch_size * 3  # decode up to 3 batches ahead of the device
+    with ThreadPoolExecutor(num_workers) as pool:
+        futs: deque = deque()
+        idx = 0
+        done = 0
+        while idx < n or futs:
+            while idx < n and len(futs) < prefetch:
+                futs.append(pool.submit(load, files[idx]))
+                idx += 1
+            batch = [futs.popleft().result() for _ in range(min(batch_size, len(futs)))]
+            out.append(wrapper.get_audio_features(batch))
+            done += len(batch)
+            if (done // batch_size) % 50 == 0:
+                logger.info("encoded %d/%d", done, n)
     return np.concatenate(out, axis=0)
 
 

@@ -203,3 +203,19 @@ def test_dropout_distribution_and_scale():
     np.testing.assert_allclose(y[y != 0], 1.0 / 0.75, rtol=1e-5)
     # eval mode / zero rate are identity
     np.testing.assert_array_equal(np.asarray(dropout(x, 0.25, None, False)), np.asarray(x))
+
+
+def test_dropout_custom_vjp_mask_consistency():
+    """The regenerating custom VJP must apply the *identical* mask in forward
+    and backward (residual is only the key)."""
+    from adt_str_tpu.models.transformer import dropout
+
+    x = jnp.ones((64, 129))
+    key = jax.random.PRNGKey(3)
+    y, vjp = jax.vjp(lambda x: dropout(x, 0.25, key, True), x)
+    (dx,) = vjp(jnp.ones_like(y))
+    # forward kept exactly where backward passes gradient, with the same scale
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(dx))
+    kept = np.asarray(y) != 0
+    keep = round(0.75 * 256) / 256
+    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / keep, rtol=1e-6)
