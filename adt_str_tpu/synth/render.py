@@ -107,10 +107,20 @@ class SynthStatics(NamedTuple):
     member_count: jnp.ndarray  # (128,)
 
     @classmethod
-    def from_bank(cls, bank: OneShotBank) -> "SynthStatics":
+    def from_bank(cls, bank: OneShotBank, dtype=None) -> "SynthStatics":
+        """On TPU the bank is held in bf16 by default: halves the gather
+        traffic per step, and at production scale it is the only layout that
+        fits — a 100k-one-shot bank at 1.28 s/24 kHz is ~6 GB in bf16 vs
+        ~12 GB in f32 (v5e HBM is 16 GB). bf16 quantization sits ~-45 dB
+        below each one-shot's peak — inaudible for training augmentation.
+        CPU (test) runs keep f32."""
+        import jax as _jax
+
+        if dtype is None:
+            dtype = jnp.bfloat16 if _jax.default_backend() != "cpu" else jnp.float32
         table, counts = adtof_member_tables()
         return cls(
-            waveforms=jnp.asarray(bank.waveforms),
+            waveforms=jnp.asarray(bank.waveforms, dtype=dtype),
             bin_offset=jnp.asarray(bank.bin_offset),
             bin_count=jnp.asarray(bank.bin_count),
             class_gain=jnp.asarray(class_gain_lut()),
@@ -200,11 +210,17 @@ def render_batch_arrays(
     lam = jax.vmap(
         lambda k: jax.random.uniform(k, (N_SLOTS, 1), maxval=mixup_range)
     )(k_mix)
+    on_tpu = jax.default_backend() != "cpu" and chunk_samples % 128 == 0
     main = statics.waveforms[main_rows]  # (B, N_SLOTS, L)
     sub = statics.waveforms[sub_rows]
-    blend = (1.0 - lam) * main + lam * sub
-    peak = jnp.max(jnp.abs(blend), axis=-1, keepdims=True)
-    blend = blend / jnp.maximum(peak, 1e-8)
+    # blend in the bank's dtype (bf16 on TPU): the gathers and the single
+    # blend materialization all move 2-byte rows — the f32 formulation
+    # materialized ~200 MB tensors several times per step
+    lam_c = lam.astype(statics.waveforms.dtype)
+    blend = (1 - lam_c) * main + lam_c * sub
+    peak = jnp.maximum(
+        jnp.max(jnp.abs(blend).astype(jnp.float32), axis=-1), 1e-8
+    )  # (B, N_SLOTS)
 
     # per-note gains scattered into per-slot impulse trains at onset samples
     pitch = jnp.clip(notes[..., 2].astype(jnp.int32), 0, 127)
@@ -215,16 +231,23 @@ def render_batch_arrays(
     slot = jnp.clip(pitch - PITCH_LO, 0, N_SLOTS - 1)
     gain = vel_to_vol(velocity) * statics.class_gain[pitch]
     gain = jnp.where(mask & (pitch >= PITCH_LO) & (pitch <= PITCH_HI), gain, 0.0)
+    # fold the blend's peak-normalization into the per-note gain: the
+    # normalized (B, N_SLOTS, L) blend tensor never needs materializing
+    # (saves a ~200 MB round trip per step at the flagship shapes)
+    gain = gain / jnp.take_along_axis(peak, slot, axis=1)
 
-    if jax.default_backend() != "cpu" and chunk_samples % 128 == 0:
+    if on_tpu:
         # Pallas placement kernel: hardware rotate + sublane-aligned
         # accumulation on (rows, 128) tiles (see synth/pallas_place.py for
-        # why the XLA formulations lose on TPU)
+        # why the XLA formulations lose on TPU); per-note rows stream bf16
         from adt_str_tpu.synth.pallas_place import place_notes
 
         l_pad = ((L + 127) // 128) * 128
         blend_padded = jnp.pad(blend, ((0, 0), (0, 0), (0, l_pad - L)))
-        wav = place_notes(blend_padded, slot, onset_sample, gain, chunk_samples)
+        wav = place_notes(
+            blend_padded, slot, onset_sample, gain, chunk_samples,
+            stream_dtype=jnp.bfloat16,
+        )
     else:
         # portable path: per-slot impulse trains convolved in the frequency
         # domain (CPU FFTs are fast; TPU FFT throughput is poor)

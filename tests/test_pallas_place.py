@@ -65,3 +65,24 @@ def test_place_notes_empty():
         )
     )
     assert (out == 0).all()
+
+
+def test_place_notes_bf16_stream():
+    """bf16 per-note streaming (the TPU production path) stays within bf16
+    quantization of the f32 oracle."""
+    rng = np.random.default_rng(7)
+    B, S, L, N, C = 2, 4, 256, 11, 1280
+    blend = rng.normal(size=(B, S, L)).astype(np.float32)
+    slot = rng.integers(0, S, (B, N)).astype(np.int32)
+    onset = rng.integers(0, C, (B, N)).astype(np.int32)
+    gain = rng.uniform(0.2, 1.0, (B, N)).astype(np.float32)
+    out = np.asarray(
+        place_notes(
+            jnp.asarray(blend), jnp.asarray(slot), jnp.asarray(onset),
+            jnp.asarray(gain), C, interpret=True, stream_dtype=jnp.bfloat16,
+        )
+    )
+    ref = oracle(blend, slot, onset, gain, C)
+    # bf16 has ~2-3 significant decimal digits; contributions accumulate in f32
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.02)
+    assert np.abs(out - ref).max() > 0  # actually quantized (not silently f32)
