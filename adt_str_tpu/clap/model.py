@@ -56,8 +56,11 @@ class ClapWrapper:
         audio_arch: ClapAudioArch = ClapAudioArch(),
         text_arch: ClapTextArch = ClapTextArch(),
         rng: Optional[np.random.Generator] = None,
+        state_dict: Optional[dict[str, np.ndarray]] = None,
     ):
-        sd = load_clap_state_dict(model_name_or_dir)
+        """`state_dict` bypasses the checkpoint directory load — used by
+        benchmarks/tests that run the real towers with synthetic weights."""
+        sd = state_dict if state_dict is not None else load_clap_state_dict(model_name_or_dir)
         self.audio_params = audio_params_from_torch_state_dict(sd, audio_arch)
         self.text_params = text_params_from_torch_state_dict(sd, text_arch)
         self.logit_scale_a = float(np.exp(np.asarray(sd["logit_scale_a"])))

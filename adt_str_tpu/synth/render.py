@@ -146,19 +146,23 @@ def _sample_timbre_rows(
     k_member, k_bin, k_timbre = jax.random.split(key, 3)
     pitches = jnp.arange(PITCH_LO, PITCH_HI + 1)
 
+    # array maxval -> per-slot true bound (32-bit draw: residual modulo bias
+    # ~bound/2^32, vs ~bound/1e6 for the reference's random.choice-equivalent)
     if adtof:
-        m = jax.random.randint(k_member, (N_SLOTS,), 0, 1_000_000) % statics.member_count[pitches]
+        m = jax.random.randint(
+            k_member, (N_SLOTS,), 0, jnp.maximum(statics.member_count[pitches], 1)
+        )
         pitches = statics.member_table[pitches, m]
 
     counts = statics.bin_count[pitches]  # (N_SLOTS, N_BINS)
     eligible = (jnp.arange(N_BINS)[None, :] < n_allowed) & (counts > 0)
     n_eligible = eligible.sum(axis=1)
-    r = jax.random.randint(k_bin, (N_SLOTS,), 0, 1_000_000) % jnp.maximum(n_eligible, 1)
+    r = jax.random.randint(k_bin, (N_SLOTS,), 0, jnp.maximum(n_eligible, 1))
     cum = jnp.cumsum(eligible.astype(jnp.int32), axis=1)
     bin_idx = jnp.argmax((cum == (r + 1)[:, None]) & eligible, axis=1)
 
     cnt = counts[jnp.arange(N_SLOTS), bin_idx]
-    t = jax.random.randint(k_timbre, (N_SLOTS,), 0, 1_000_000) % jnp.maximum(cnt, 1)
+    t = jax.random.randint(k_timbre, (N_SLOTS,), 0, jnp.maximum(cnt, 1))
     return statics.bin_offset[pitches, bin_idx] + t
 
 

@@ -1,0 +1,192 @@
+"""CLAP curation throughput benchmark + 1M-library projection.
+
+North-star axis 3 (BASELINE.json): curate a 1M-sample one-shot library "in
+minutes". The reference's hot loop (`augment_data_with_CLAP.py:124-149`)
+decodes WAVs serially on the host and encodes batch-by-batch on one GPU; this
+benchmark measures our pipeline's stages separately on synthetic WAVs so the
+end-to-end projection is composed of *measured* rates:
+
+  1. host WAV decode + resample, serial (the reference's mode);
+  2. host decode pipelined over a thread pool (our `encode_files` mode);
+  3. device CLAP encode alone (pre-decoded batches, real full-size tower
+     with synthetic weights — throughput does not depend on weight values);
+  4. end-to-end pipelined `encode_files` (decode overlapped with encode);
+  5. the class-assignment matmul at the full 1M x 512 size;
+  6. bin+copy of the curated files (host filesystem).
+
+Writes tools/curation_bench.json and prints a summary with the projected
+wall-clock for a 1M-sample library.
+
+Usage: python tools/bench_curation.py [--n-files 1024] [--batch-size 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import wave as wave_mod
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 48_000
+
+
+def make_synthetic_library(root: Path, n_files: int, rng: np.random.Generator) -> list[str]:
+    """Write n_files mono 16-bit WAV one-shots (0.2-1.0 s) at 48 kHz."""
+    paths = []
+    for i in range(n_files):
+        n = int(rng.integers(int(0.2 * SR), int(1.0 * SR)))
+        t = np.arange(n) / SR
+        f0 = float(rng.uniform(60, 4000))
+        sig = np.sin(2 * np.pi * f0 * t) * np.exp(-t * rng.uniform(3, 30))
+        sig += rng.normal(0, 0.05, n)
+        pcm = np.clip(sig / (np.abs(sig).max() + 1e-9), -1, 1)
+        path = root / f"shot_{i:05d}.wav"
+        with wave_mod.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(SR)
+            w.writeframes((pcm * 32767).astype(np.int16).tobytes())
+        paths.append(str(path))
+    return paths
+
+
+def make_synthetic_clap_state_dict() -> dict[str, np.ndarray]:
+    """Random full-size laion/clap-htsat-fused state dict via torch (shapes
+    only matter for throughput)."""
+    import torch
+    from transformers import ClapAudioConfig, ClapConfig, ClapTextConfig
+
+    audio_cfg = ClapAudioConfig(enable_fusion=True)
+    text_cfg = ClapTextConfig()
+    cfg = ClapConfig.from_text_audio_configs(text_cfg, audio_cfg, projection_dim=512)
+    torch.manual_seed(0)
+    model = ClapModelLazy(cfg)
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def ClapModelLazy(cfg):
+    from transformers import ClapModel
+
+    return ClapModel(cfg)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-files", type=int, default=1024)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--assign-size", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    from adt_str_tpu.clap.curation import assign_classes, encode_files
+    from adt_str_tpu.clap.model import ClapWrapper
+    from adt_str_tpu.utils.audio_io import load_and_resample, normalize
+
+    rng = np.random.default_rng(0)
+    results: dict = {"n_files": args.n_files, "batch_size": args.batch_size}
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        t0 = time.perf_counter()
+        files = make_synthetic_library(root, args.n_files, rng)
+        print(f"built {len(files)} synthetic WAVs in {time.perf_counter()-t0:.1f}s")
+
+        # --- stage 1: serial host decode (the reference's mode)
+        sub = files[: min(256, len(files))]
+        t0 = time.perf_counter()
+        for f in sub:
+            normalize(load_and_resample(f, SR))
+        dt = time.perf_counter() - t0
+        results["host_decode_serial_files_per_s"] = len(sub) / dt
+        print(f"host decode serial:    {len(sub)/dt:9.1f} files/s")
+
+        # --- stage 2: pooled host decode
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(16, os.cpu_count() or 1)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as pool:
+            list(pool.map(lambda f: normalize(load_and_resample(f, SR)), files))
+        dt = time.perf_counter() - t0
+        results["host_decode_pool_files_per_s"] = len(files) / dt
+        results["host_decode_workers"] = workers
+        print(f"host decode pool({workers:2d}):  {len(files)/dt:9.1f} files/s")
+
+        # --- stage 3: device encode alone (pre-decoded)
+        print("building synthetic full-size CLAP weights (torch init)...")
+        sd = make_synthetic_clap_state_dict()
+        wrapper = ClapWrapper("<synthetic>", sample_rate=SR, state_dict=sd)
+        waves = [normalize(load_and_resample(f, SR)) for f in files[: 4 * args.batch_size]]
+        wrapper.get_audio_features(waves[: args.batch_size])  # compile
+        t0 = time.perf_counter()
+        for i in range(0, len(waves), args.batch_size):
+            wrapper.get_audio_features(waves[i : i + args.batch_size])
+        dt = time.perf_counter() - t0
+        results["device_encode_files_per_s"] = len(waves) / dt
+        print(f"device encode alone:   {len(waves)/dt:9.1f} files/s")
+
+        # --- stage 4: end-to-end pipelined encode_files
+        t0 = time.perf_counter()
+        embeds = encode_files(wrapper, files, SR, args.batch_size)
+        dt = time.perf_counter() - t0
+        results["e2e_encode_files_per_s"] = len(files) / dt
+        print(f"e2e pipelined encode:  {len(files)/dt:9.1f} files/s")
+        assert embeds.shape == (len(files), 512)
+
+        # --- stage 5: assignment matmul at 1M
+        U = np.ascontiguousarray(
+            rng.normal(size=(args.assign_size, 512)).astype(np.float32)
+        )
+        means = rng.normal(size=(48, 512)).astype(np.float32)
+        assign_classes(U[:1024], means)  # compile
+        t0 = time.perf_counter()
+        idx, score = assign_classes(U, means)
+        dt = time.perf_counter() - t0
+        results["assign_1m_s"] = dt
+        print(f"assign {args.assign_size} x 48:  {dt:9.2f} s")
+
+        # --- stage 6: bin + copy rate
+        import shutil
+
+        dest_root = root / "copied"
+        t0 = time.perf_counter()
+        for i, f in enumerate(files[:256]):
+            d = dest_root / str(i % 48) / "100-90"
+            d.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(f, d / Path(f).name)
+        dt = time.perf_counter() - t0
+        results["copy_files_per_s"] = 256 / dt
+        print(f"bin+copy:              {256/dt:9.1f} files/s")
+
+    # --- projection: decode/encode overlap (pipelined); copy is post-pass
+    n = 1_000_000
+    pipeline_rate = min(
+        results["host_decode_pool_files_per_s"], results["device_encode_files_per_s"]
+    )
+    t_encode = n / pipeline_rate
+    t_total = t_encode + results["assign_1m_s"] + n / results["copy_files_per_s"]
+    results["projected_1m_encode_min"] = t_encode / 60
+    results["projected_1m_total_min"] = t_total / 60
+    results["projection_note"] = (
+        "single-chip projection; encode stage shards linearly over devices "
+        "(assign_classes already shards U over the data mesh axis)"
+    )
+    print(
+        f"\nprojected 1M library: encode {t_encode/60:.1f} min, "
+        f"total {t_total/60:.1f} min (single chip); /8 for a v5e-8 pod slice"
+    )
+
+    out = Path(__file__).parent / "curation_bench.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
