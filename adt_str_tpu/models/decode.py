@@ -179,7 +179,10 @@ def greedy_decode_from_memory(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "beam_size", "max_length", "start_token", "end_token"),
+    static_argnames=(
+        "config", "beam_size", "max_length", "start_token", "end_token",
+        "length_penalty",  # branched on in `score`; traced floats would crash
+    ),
 )
 def beam_search_decode(
     params: Params,
