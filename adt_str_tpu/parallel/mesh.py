@@ -35,18 +35,39 @@ def maybe_initialize_distributed() -> None:
     cluster env vars are present (COORDINATOR_ADDRESS or a TPU pod slice).
     Single-host/single-chip runs are untouched. The reference's multi-node
     path was `accelerate launch` + NCCL (README.md:53-57); here the JAX
-    runtime owns DCN coordination and the mesh spans all global devices."""
+    runtime owns DCN coordination and the mesh spans all global devices.
+
+    Env contract (mirrors `accelerate`'s MASTER_ADDR/RANK/WORLD_SIZE): when
+    COORDINATOR_ADDRESS, NUM_PROCESSES and PROCESS_ID are all set they are
+    passed explicitly (any launcher works — tests/test_multihost_bringup.py
+    drives a real two-process CPU cluster this way); with only
+    COORDINATOR_ADDRESS set, JAX's cluster auto-detection fills in the rest
+    (TPU pod slices, SLURM, GKE)."""
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        try:
+    # Must not touch jax.process_count()/jax.devices() here: any backend query
+    # initializes XLA and jax.distributed.initialize then refuses to run
+    # (caught by tests/test_multihost_bringup.py).
+    if jax.distributed.is_initialized():
+        return
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if not (addr or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        return
+    try:
+        nproc = os.environ.get("NUM_PROCESSES")
+        pid = os.environ.get("PROCESS_ID")
+        if addr and nproc is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        else:
             jax.distributed.initialize()
-        except Exception as e:  # pragma: no cover
-            import logging
+    except Exception as e:  # pragma: no cover
+        import logging
 
-            logging.getLogger(__name__).warning("jax.distributed.initialize failed: %s", e)
+        logging.getLogger(__name__).warning("jax.distributed.initialize failed: %s", e)
 
 
 def make_mesh(
