@@ -101,8 +101,13 @@ def make_synth_train_step(
             train=True,
         )
 
+    # `statics` must be a jit *argument*, not a closure: closed-over arrays are
+    # embedded in the lowered module as literal constants, and a production
+    # one-shot bank is GBs — the serialized HLO then breaks compilation
+    # (observed: axon remote_compile broken pipe at a 1.8 GB bank). As an
+    # argument it is passed by reference to the device-resident buffers.
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch: Params, rng: jax.Array):
+    def _step(state: TrainState, batch: Params, rng: jax.Array, statics):
         k_synth, k_model = jax.random.split(rng)
         synth_keys = jax.random.split(k_synth, batch["notes"].shape[0])
         wavs = render_batch(
@@ -113,6 +118,9 @@ def make_synth_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    def step(state: TrainState, batch: Params, rng: jax.Array):
+        return _step(state, batch, rng, statics)
 
     return step
 
@@ -126,8 +134,9 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics):
     """
     from adt_str_tpu.synth.render import render_batch
 
+    # statics as a jit argument, not a closure — see make_synth_train_step
     @jax.jit
-    def step(params: Params, batch: Params, rng: jax.Array):
+    def _step(params: Params, batch: Params, rng: jax.Array, statics):
         keys = jax.random.split(rng, batch["notes"].shape[0])
         wavs = render_batch(
             statics, batch["notes"], batch["note_mask"], keys, synth_config
@@ -141,6 +150,9 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics):
             rng=None,
             train=False,
         )
+
+    def step(params: Params, batch: Params, rng: jax.Array):
+        return _step(params, batch, rng, statics)
 
     return step
 

@@ -87,6 +87,25 @@ def test_reference_train_yamls_load_unchanged():
             assert cfg.training.learning_rate == 8e-4
 
 
+def test_reference_eval_and_preprocess_yamls_load_unchanged():
+    """The reference's eval + preprocess YAMLs also load with no edits
+    (reference configs/eval/*.yaml, configs/preprocess/*.yaml)."""
+    import glob
+
+    ref_yamls = sorted(glob.glob("/root/reference/configs/eval/*.yaml")) + sorted(
+        glob.glob("/root/reference/configs/preprocess/*.yaml")
+    )
+    if not ref_yamls:
+        import pytest
+
+        pytest.skip("reference repo not present")
+    assert len(ref_yamls) == 7, ref_yamls
+    for path in ref_yamls:
+        FrameworkConfig.from_yaml(
+            path, default_path="/root/reference/configs/config_default.yaml"
+        )
+
+
 def test_repo_tau_sweep_configs():
     """The repo ships its own tau-sweep configs mirroring the reference's."""
     import pathlib
