@@ -101,46 +101,24 @@ def device_log_mel_db(waveforms) -> "np.ndarray":
     return np.asarray(_device_mel(wave))
 
 
-def device_repeatpad_log_mel(waveforms, lengths) -> "np.ndarray":
-    """Short-clip path: (B, bucket) zero-padded clips + true lengths ->
-    (B, 1001, 64), with the 10 s repeat+zero padding done ON DEVICE.
-
-    One-shot libraries are sub-second clips; padding them to 10 s on the host
-    makes the encode stage host->device-transfer-bound (the H2D ships 480k
-    samples per clip). Shipping only the `bucket` samples and expanding with
-    an index-arithmetic gather on device cuts H2D bytes by MAX/bucket (10x
-    for a 1 s bucket). Semantics identical to `_pad_short`:
-    tile floor(MAX/len) times, zero-fill the tail."""
-    import jax
-    import jax.numpy as jnp
-
-    wave = jnp.asarray(np.asarray(waveforms, dtype=np.float32))
-    ln = jnp.asarray(np.asarray(lengths, dtype=np.int32))
-
-    @jax.jit
-    def expand(w, ln):
-        ln = jnp.maximum(ln, 1)[:, None]
-        t = jnp.arange(MAX_SAMPLES, dtype=jnp.int32)[None, :]
-        n_rep = MAX_SAMPLES // ln
-        idx = t - (t // ln) * ln  # t mod len, per item
-        full = jnp.take_along_axis(w, idx, axis=1)
-        return jnp.where(t < n_rep * ln, full, 0.0)
-
-    return np.asarray(_device_mel(expand(wave, ln)))
+# Negative result (measured, kept for the record): repeat-padding short clips
+# ON DEVICE — shipping only the true samples and expanding with a
+# `take_along_axis(w, t mod len)` gather — cut H2D bytes 5-10x but made the
+# encode stage ~7x *slower* end to end: per-element lane-axis gathers are
+# pathological on TPU (the same Mosaic lesson as synth/pallas_place.py's
+# war story). Host repeat-pad + full 10 s transfer is the right call: on a
+# real TPU VM the padded batch moves over PCIe in ~8 ms; only this dev
+# image's ~20 MB/s tunnel made transfer look like the bottleneck.
 
 
 class ClapFeatureExtractor:
     def __init__(self, rng: np.random.Generator | None = None,
                  replicate_hf_longer_quirk: bool = False,
-                 use_device: bool = False,
-                 short_bucket_samples: int = 2 * SAMPLE_RATE):
+                 use_device: bool = False):
         self.fb = mel_filterbank(N_FFT // 2 + 1, N_MELS, SAMPLE_RATE, F_MIN, F_MAX)
         self.rng = rng or np.random.default_rng(0)
         self.replicate_hf_longer_quirk = replicate_hf_longer_quirk
         self.use_device = use_device
-        # clips at most this long ship truncated to the bucket and repeat-pad
-        # on device (device_repeatpad_log_mel); 2 s covers one-shot libraries
-        self.short_bucket_samples = short_bucket_samples
 
     def _one(self, waveform: np.ndarray) -> tuple[np.ndarray, bool]:
         waveform = np.asarray(waveform, dtype=np.float64).reshape(-1)
@@ -179,15 +157,8 @@ class ClapFeatureExtractor:
         """-> (input_features (B, 4, 1001, 64) f32, is_longer (B,) bool)."""
         lens = [np.asarray(a).reshape(-1).shape[0] for a in audios]
         if self.use_device and all(n <= MAX_SAMPLES for n in lens):
-            if all(n <= self.short_bucket_samples for n in lens):
-                bucket = self.short_bucket_samples
-                padded = np.zeros((len(audios), bucket), np.float32)
-                for i, a in enumerate(audios):
-                    padded[i, : lens[i]] = np.asarray(a, np.float32).reshape(-1)
-                mel = device_repeatpad_log_mel(padded, np.asarray(lens))
-            else:
-                padded = np.stack([self._pad_short(a) for a in audios])
-                mel = device_log_mel_db(padded)  # (B, 1001, 64)
+            padded = np.stack([self._pad_short(a) for a in audios])
+            mel = device_log_mel_db(padded)  # (B, 1001, 64)
             mels = np.repeat(mel[:, None, :, :], 4, axis=1)
             longer = [False] * len(audios)
         else:

@@ -184,14 +184,12 @@ def test_device_feature_extractor_matches_host():
     np.testing.assert_allclose(d_feats, h_feats, atol=5e-2)  # dB scale
 
 
-def test_device_repeatpad_matches_host_pad_short():
-    """On-device repeat+zero padding (short-clip H2D saver) must reproduce
-    `_pad_short` exactly: one-shot-length clips tile many times; a clip just
-    over the bucket falls back to the host full-pad path in a mixed batch."""
+def test_device_path_matches_host_on_ragged_short_batch():
+    """Device dB-mel path on a ragged batch of repeat-padded one-shot-length
+    clips (incl. awkward prime lengths) matches the numpy extractor."""
     rng = np.random.default_rng(9)
     host = feat_lib.ClapFeatureExtractor()
     dev = feat_lib.ClapFeatureExtractor(use_device=True)
-    # ragged short batch: 0.27 s, 1.9 s, and an awkward prime length
     clips = [
         (rng.normal(size=13_001) * 0.4).astype(np.float64),
         (rng.normal(size=91_193) * 0.2).astype(np.float64),
@@ -200,9 +198,3 @@ def test_device_repeatpad_matches_host_pad_short():
     h_feats, _ = host(clips)
     d_feats, _ = dev(clips)
     np.testing.assert_allclose(d_feats, h_feats, atol=5e-2)
-
-    # > bucket clip forces the full 10 s host-pad device path for the batch
-    long_clip = (rng.normal(size=3 * 96_000) * 0.3).astype(np.float64)
-    h2, _ = host([long_clip, clips[0]])
-    d2, _ = dev([long_clip, clips[0]])
-    np.testing.assert_allclose(d2, h2, atol=5e-2)

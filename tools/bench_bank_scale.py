@@ -99,21 +99,22 @@ def main() -> None:
         bank_bytes = statics.waveforms.size * statics.waveforms.dtype.itemsize
 
         # statics rides as a jit argument (closed-over arrays would be baked
-        # into the HLO as multi-GB literals; see make_synth_train_step)
+        # into the HLO as multi-GB literals; see make_synth_train_step);
+        # per-item keys are derived inside the jit (eager vmap(PRNGKey) costs
+        # 64 device roundtrips per step and dominated the toy timing)
         @jax.jit
-        def step(statics, keys):
+        def step(statics, s):
+            keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B) + s * B)
             return render_batch_arrays(
                 statics, notes_j, mask_j, keys, chunk, sample_rate,
                 mixup_range=0.8, use_fx_prob=0.3, n_allowed=11, adtof=False,
             )
 
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
-        out = step(statics, keys)
+        out = step(statics, jnp.int32(0))
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for s in range(args.steps):
-            keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B) + s * B)
-            out = step(statics, keys)
+            out = step(statics, jnp.int32(s + 1))
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / args.steps * 1e3
         print(
