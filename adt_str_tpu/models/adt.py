@@ -111,10 +111,22 @@ def encode(
 
 
 def embed_tokens(params: Params, tokens: jnp.ndarray, config: ModelConfig) -> jnp.ndarray:
-    """Plain embedding lookup * sqrt(d_model) (model.py:42-49, plain=True)."""
+    """Plain embedding lookup * sqrt(d_model) (model.py:42-49, plain=True).
+
+    Multi-hot tokens (B, T, vocab) implement the reference's legacy
+    `plain=False` `TokenEmbedding` matmul variant (model.py:13-39) — dead in
+    the reference (its trainer feeds ids and `sample`/`beam_search` assert
+    plain, model.py:283-285,353-355) but kept for capability parity."""
     compute = jnp.dtype(config.compute_dtype)
     emb = params["decoder"]["embedding"].astype(compute)
-    return emb[tokens] * jnp.asarray(math.sqrt(config.d_model), compute)
+    scale = jnp.asarray(math.sqrt(config.d_model), compute)
+    if tokens.ndim == 3:  # multi-hot (plain=False)
+        return tokens.astype(compute) @ emb * scale
+    if not config.plain:
+        raise NotImplementedError(
+            "plain=False needs multi-hot (B, T, vocab) inputs (model.py:13-39)"
+        )
+    return emb[tokens] * scale
 
 
 def decode_logits(

@@ -193,6 +193,22 @@ def test_collate_token_lengths_quirk():
     np.testing.assert_array_equal(np.asarray(out), [5, 6, 6, 3])
 
 
+def test_multihot_embedding_matches_plain_on_onehot():
+    """The legacy plain=False matmul embedding (reference model.py:13-39)
+    equals the plain lookup when fed exact one-hot rows."""
+    cfg = ModelConfig(
+        input_sec=0.64, time_res=0.01, win_length=256, sample_rate=4000,
+        enc_layers=1, dec_layers=1, nhead=2, d_query=8, dropout=0.0,
+        tgt_vocab_size=32, n_mels=8, compute_dtype="float32", max_positions=16,
+    )
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray([[2, 5, 7, 3]], jnp.int32)
+    plain = adt.embed_tokens(params, tokens, cfg)
+    onehot = jax.nn.one_hot(tokens, cfg.tgt_vocab_size, dtype=jnp.float32)
+    multi = adt.embed_tokens(params, onehot, cfg)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(plain), rtol=1e-6)
+
+
 def test_dropout_distribution_and_scale():
     from adt_str_tpu.models.transformer import dropout
 

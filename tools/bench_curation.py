@@ -119,9 +119,18 @@ def main() -> None:
         results["host_decode_workers"] = workers
         print(f"host decode pool({workers:2d}):  {len(files)/dt:9.1f} files/s")
 
-        # --- stage 3: device encode alone (pre-decoded)
+        # --- stage 3: device encode alone (pre-decoded), decomposed into the
+        # H2D upload of the repeat-padded 10 s batch vs the on-device compute
+        # (Pallas dB-mel + HTSAT tower). On this host H2D crosses the axon
+        # tunnel at a fluctuating 4-20 MB/s; a TPU VM moves the same batch
+        # over PCIe in ~10 ms, so the projection uses the compute rate.
         print("building synthetic full-size CLAP weights (torch init)...")
-        sd = make_synthetic_clap_state_dict()
+        cache = Path(tempfile.gettempdir()) / "clap_synth_sd.npz"
+        if cache.exists():
+            sd = dict(np.load(cache))
+        else:
+            sd = make_synthetic_clap_state_dict()
+            np.savez(cache, **sd)
         wrapper = ClapWrapper("<synthetic>", sample_rate=SR, state_dict=sd)
         waves = [normalize(load_and_resample(f, SR)) for f in files[: 4 * args.batch_size]]
         wrapper.get_audio_features(waves[: args.batch_size])  # compile
@@ -131,6 +140,42 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results["device_encode_files_per_s"] = len(waves) / dt
         print(f"device encode alone:   {len(waves)/dt:9.1f} files/s")
+
+        import jax
+        import jax.numpy as jnp
+
+        from adt_str_tpu.clap.audio_model import get_audio_features as tower
+        from adt_str_tpu.clap.features import _device_mel
+
+        fx = wrapper.feature_extractor
+        padded = np.stack([fx._pad_short(w) for w in waves[: args.batch_size]])
+        t0 = time.perf_counter()
+        wave_dev = jnp.asarray(np.asarray(padded, np.float32))
+        jax.block_until_ready(wave_dev)
+        h2d = time.perf_counter() - t0
+        results["encode_h2d_s_per_batch"] = h2d
+        results["encode_h2d_mb_per_s"] = padded.nbytes / 2**20 / h2d
+
+        @jax.jit
+        def encode_on_device(w):
+            mel = _device_mel(w)  # (B, 1001, 64)
+            mels = jnp.repeat(mel[:, None, :, :], 4, axis=1)
+            longer = jnp.zeros((w.shape[0],), bool)
+            return tower(wrapper.audio_params, mels, longer)
+
+        out = encode_on_device(wave_dev)  # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = encode_on_device(wave_dev)
+        jax.block_until_ready(out)
+        compute = (time.perf_counter() - t0) / 3
+        rate = args.batch_size / compute
+        results["device_encode_compute_files_per_s"] = rate
+        print(
+            f"  = H2D {h2d:5.2f} s/batch ({padded.nbytes/2**20/h2d:.0f} MB/s tunnel) "
+            f"+ compute {compute*1e3:6.1f} ms/batch ({rate:.0f} files/s)"
+        )
 
         # --- stage 4: end-to-end pipelined encode_files
         t0 = time.perf_counter()
@@ -181,18 +226,24 @@ def main() -> None:
         results["copy_files_per_s"] = 256 / dt
         print(f"bin+copy:              {256/dt:9.1f} files/s")
 
-    # --- projection: decode/encode overlap (pipelined); copy is post-pass
+    # --- projection: decode/encode overlap (pipelined); copy is post-pass.
+    # Uses the device *compute* rate for the encode stage (H2D on a real TPU
+    # VM is PCIe, ~10 ms/batch; this host's tunnel rate is reported alongside
+    # in the JSON for the record).
     n = 1_000_000
     pipeline_rate = min(
-        results["host_decode_pool_files_per_s"], results["device_encode_files_per_s"]
+        results["host_decode_pool_files_per_s"],
+        results["device_encode_compute_files_per_s"],
     )
     t_encode = n / pipeline_rate
     t_total = t_encode + results["assign_1m_s"] + n / results["copy_files_per_s"]
     results["projected_1m_encode_min"] = t_encode / 60
     results["projected_1m_total_min"] = t_total / 60
     results["projection_note"] = (
-        "single-chip projection; encode stage shards linearly over devices "
-        "(assign_classes already shards U over the data mesh axis)"
+        "single-chip projection using the measured device-compute encode rate "
+        "(PCIe H2D assumed, this host's tunnel rate recorded separately); "
+        "the encode stage shards linearly over devices and assign_classes "
+        "already shards U over the data mesh axis"
     )
     print(
         f"\nprojected 1M library: encode {t_encode/60:.1f} min, "
