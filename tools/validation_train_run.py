@@ -1,0 +1,142 @@
+"""Production train.py CLI validation on real hardware.
+
+Fabricates flagship-scale inputs (Lakh-schema parquet of 2.56 s drum
+segments + a reference-layout one-shot HDF5 bank), writes a setting-1-shaped
+YAML, and runs the *actual* `python train.py <yaml>` CLI for --steps steps at
+batch 64 — validating sustained throughput, checkpointing, logging, and
+loss descent end to end (not through test harnesses).
+
+Usage: python tools/validation_train_run.py [--steps 2000] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SR = 24_000
+PITCHES = [35, 36, 38, 40, 41, 42, 44, 46, 48, 49, 51]
+
+
+def write_lakh_parquet(path: Path, n_segments: int, rng: np.random.Generator) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("midi_id", pa.string()), ("segment_number", pa.int32()), ("notes", pa.binary())]
+    )
+    rows = {"midi_id": [], "segment_number": [], "notes": []}
+    for i in range(n_segments):
+        n = int(rng.integers(4, 48))
+        onsets = np.sort(rng.uniform(0, 2.4, n))
+        notes = np.stack(
+            [onsets, onsets + 0.05, rng.choice(PITCHES, n), rng.integers(30, 127, n)],
+            axis=1,
+        ).astype(np.float32)
+        rows["midi_id"].append(f"val{i:06d}")
+        rows["segment_number"].append(i)
+        rows["notes"].append(notes.tobytes())
+    pq.write_table(pa.table(rows, schema=schema), str(path))
+
+
+def write_bank(prefix: str, rng: np.random.Generator) -> None:
+    from adt_str_tpu.synth.bank import save_bank_hdf5
+
+    max_len = int(1.28 * SR)
+    t = np.arange(max_len) / SR
+    entries = {}
+    for pitch in PITCHES:
+        entries[pitch] = {}
+        for bin_name in ("gold", "100-90", "90-80"):
+            waves = []
+            for _ in range(8):
+                n = int(rng.integers(max_len // 4, max_len))
+                f0 = 60 + 40 * (pitch - 35)
+                w = np.exp(-t[:n] * rng.uniform(5, 30)) * (
+                    0.7 * np.sin(2 * np.pi * f0 * t[:n]) + 0.3 * rng.normal(size=n)
+                )
+                waves.append(w.astype(np.float32))
+            entries[pitch][bin_name] = waves
+    save_bank_hdf5(f"{prefix}@{SR}.hdf5", entries, SR)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--segments", type=int, default=40_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import yaml
+
+    td = Path(args.out or tempfile.mkdtemp(prefix="adt_val_"))
+    td.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    data_dir = td / "lakh"
+    data_dir.mkdir(exist_ok=True)
+    print(f"writing {args.segments} synthetic segments + bank under {td} ...")
+    write_lakh_parquet(data_dir / "A.parquet", args.segments, rng)
+    write_bank(str(td / "oneshot"), rng)
+
+    cfg = {
+        "shared": {"input_sec": 2.56, "time_res": 0.01, "win_length": 2048,
+                   "sample_rate": SR},
+        "model": {"enc_layers": 4, "dec_layers": 4, "nhead": 6, "d_query": 128,
+                  "dropout": 0.1, "tgt_vocab_size": 1400, "n_mels": 128,
+                  "compute_dtype": "bfloat16", "use_pallas_mel": True},
+        "tokenizer": {"ADTOF_mapping": False, "BOS_token": 2, "EOS_token": 3,
+                      "pad_token": 1, "silence_token": 0, "add_velocity": True},
+        "training": {"batch_size": args.batch_size, "num_epochs": 1,
+                     "learning_rate": 1e-4, "warmup_ratio": 0.1,
+                     "weight_decay": 1e-5, "max_grad_norm": 1.0,
+                     "max_steps": args.steps},
+        "TrainDatasetConfig": {"dataset_path": str(data_dir), "dataset_name": "Lakh",
+                               "partitions": None, "empty_tokens_percentage": 0.05,
+                               "random_velocity_prob": 0.5, "max_tokens": 256},
+        "synthetiser": {"oneshot_path": str(td / "oneshot"),
+                        "similarity_threshold": 0.8, "mixup_range": 0.8,
+                        "use_fx_prob": 0.3, "max_notes": 128,
+                        "max_oneshot_sec": 1.28},
+        "logging": {"output_dir": str(td / "out"), "logging_steps": 100,
+                    "save_every_n_steps": 1000},
+        "checkpoint": {"max_checkpoints": 2, "auto_resume": False},
+        "experiment": {"seed": 0, "run_name": "validation", "use_wandb": False},
+    }
+    cfg_path = td / "validation.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "train.py"), str(cfg_path)],
+        cwd=str(REPO),
+        env={**os.environ, "PYTHONUNBUFFERED": "1"},
+    )
+    dt = time.perf_counter() - t0
+    ok = proc.returncode == 0
+    result = {
+        "ok": ok,
+        "steps": args.steps,
+        "batch_size": args.batch_size,
+        "wall_s": dt,
+        "steps_per_sec_incl_startup": args.steps / dt,
+        "out_dir": str(td),
+    }
+    print(json.dumps(result))
+    (td / "validation_result.json").write_text(json.dumps(result, indent=2))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
