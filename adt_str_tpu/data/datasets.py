@@ -227,16 +227,41 @@ def _epoch_batches(
         yield collate(examples)
 
 
+NOTE_BUCKET = 16
+
+
+def trim_note_bucket(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Trim the padded note dim to the batch max, rounded up to NOTE_BUCKET.
+
+    The renderer's per-note stream cost is proportional to the *padded* note
+    count (~28 us/slot at bs64 on v5e, tools measurements in DESIGN.md), so a
+    batch whose largest chunk has 30 notes should not pay for 128 slots. Each
+    bucket is a distinct static shape — at most max_notes/NOTE_BUCKET jit
+    specializations, compiled once each."""
+    if "note_mask" not in batch:
+        return batch
+    m = batch["note_mask"]
+    any_col = m.any(axis=0)
+    hi = int(np.nonzero(any_col)[0].max() + 1) if any_col.any() else 0
+    bucket = max(NOTE_BUCKET, -(-hi // NOTE_BUCKET) * NOTE_BUCKET)
+    if bucket < m.shape[1]:
+        batch = dict(batch)
+        batch["notes"] = batch["notes"][:, :bucket]
+        batch["note_mask"] = m[:, :bucket]
+    return batch
+
+
 def collate(examples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     """Stack static-shape examples; apply the reference collate length quirk
     (lengths equal to the batch max decremented by one,
-    train_dataset.py:47-51)."""
+    train_dataset.py:47-51). Note arrays are bucket-trimmed
+    (`trim_note_bucket`)."""
     batch = {
         key: np.stack([e[key] for e in examples]) for key in examples[0]
     }
     lengths = batch["token_lengths"].astype(np.int64)
     batch["token_lengths"] = lengths - (lengths == lengths.max()).astype(np.int64)
-    return batch
+    return trim_note_bucket(batch)
 
 
 class TMIDTDataset:

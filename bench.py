@@ -93,9 +93,13 @@ def main() -> None:
     n_dev = len(jax.devices())
     base = _make_batch(cfg, batch_size=BATCH_SIZE, max_tokens=MAX_TOKENS)
     notes, mask = _make_notes(rng, BATCH_SIZE)
+    # production input path applies the same bucket trim (datasets.collate)
+    from adt_str_tpu.data.datasets import trim_note_bucket
+
+    trimmed = trim_note_bucket({"notes": notes, "note_mask": mask})
     batch = {
-        "notes": jnp.asarray(notes),
-        "note_mask": jnp.asarray(mask),
+        "notes": jnp.asarray(trimmed["notes"]),
+        "note_mask": jnp.asarray(trimmed["note_mask"]),
         "tokens": base["tokens"],
         "token_lengths": base["token_lengths"],
     }

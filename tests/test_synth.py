@@ -226,6 +226,42 @@ def test_render_deterministic_per_key(statics):
     np.testing.assert_array_equal(a, b)
 
 
+def test_render_invariant_to_note_padding(statics):
+    """Bucket-trimming the padded note dim (datasets.trim_note_bucket) must
+    not change the rendered audio: masked slots contribute nothing and the
+    per-segment timbre/mixup/FX draws are independent of the note dim."""
+    c = cfg()
+    base = np.array([[0.1, 0.2, 35, 100], [0.4, 0.5, 42, 70]], dtype=np.float32)
+    key = jax.random.PRNGKey(7)
+
+    def render(pad_to):
+        notes, mask = pad_notes(base, pad_to)
+        return np.asarray(render_segment(
+            statics, jnp.asarray(notes), jnp.asarray(mask), key,
+            chunk_samples=c.chunk_samples, sample_rate=SR,
+        ))
+
+    np.testing.assert_array_equal(render(8), render(32))
+
+
+def test_collate_trims_note_bucket():
+    from adt_str_tpu.data.datasets import collate
+
+    examples = []
+    for n in (3, 17):
+        notes = np.zeros((128, 4), np.float32)
+        mask = np.zeros(128, bool)
+        mask[:n] = True
+        tokens = np.full(16, 1, np.int32)
+        examples.append({
+            "notes": notes, "note_mask": mask, "tokens": tokens,
+            "token_lengths": np.int64(4 + n % 3),
+        })
+    batch = collate(examples)
+    assert batch["notes"].shape[1] == 32  # max count 17 -> bucket 32
+    assert batch["note_mask"].shape[1] == 32
+
+
 def test_fx_chain_stable_across_keys():
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.normal(size=SR).astype(np.float32) * 0.5)
