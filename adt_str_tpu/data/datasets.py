@@ -228,6 +228,7 @@ def _epoch_batches(
 
 
 NOTE_BUCKET = 16
+TOKEN_BUCKET = 64
 
 
 def trim_note_bucket(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -251,6 +252,28 @@ def trim_note_bucket(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return batch
 
 
+def trim_token_bucket(
+    batch: dict[str, np.ndarray], pad_token: int = 1
+) -> dict[str, np.ndarray]:
+    """Trim the padded token dim to the batch max, rounded up to TOKEN_BUCKET.
+
+    The decoder is ~half the model's matmul flops and its cost is linear in
+    the *padded* sequence length; typical 2.56 s Lakh chunks tokenize to well
+    under the 256-token pad. Dropping all-PAD tail columns is loss-exact:
+    CE ignores PAD labels and the padding masks are built from true lengths.
+    Coarse 64-granule buckets bound jit specializations to 4."""
+    if "tokens" not in batch:
+        return batch
+    t = batch["tokens"]
+    non_pad = (t != pad_token).any(axis=0)
+    hi = int(np.nonzero(non_pad)[0].max() + 1) if non_pad.any() else 2
+    bucket = max(TOKEN_BUCKET, -(-hi // TOKEN_BUCKET) * TOKEN_BUCKET)
+    if bucket < t.shape[1]:
+        batch = dict(batch)
+        batch["tokens"] = t[:, :bucket]
+    return batch
+
+
 def collate(examples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     """Stack static-shape examples; apply the reference collate length quirk
     (lengths equal to the batch max decremented by one,
@@ -261,7 +284,7 @@ def collate(examples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     }
     lengths = batch["token_lengths"].astype(np.int64)
     batch["token_lengths"] = lengths - (lengths == lengths.max()).astype(np.int64)
-    return trim_note_bucket(batch)
+    return trim_token_bucket(trim_note_bucket(batch))
 
 
 class TMIDTDataset:

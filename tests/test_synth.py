@@ -252,14 +252,53 @@ def test_collate_trims_note_bucket():
         notes = np.zeros((128, 4), np.float32)
         mask = np.zeros(128, bool)
         mask[:n] = True
-        tokens = np.full(16, 1, np.int32)
+        tokens = np.full(256, 1, np.int32)
+        tokens[0] = 2
+        tokens[1 : 1 + n] = 300
+        tokens[1 + n] = 3
         examples.append({
             "notes": notes, "note_mask": mask, "tokens": tokens,
-            "token_lengths": np.int64(4 + n % 3),
+            "token_lengths": np.int64(n + 2),
         })
     batch = collate(examples)
     assert batch["notes"].shape[1] == 32  # max count 17 -> bucket 32
     assert batch["note_mask"].shape[1] == 32
+    assert batch["tokens"].shape[1] == 64  # max 19 used -> token bucket 64
+
+
+def test_token_trim_is_loss_exact():
+    """Dropping all-PAD tail token columns must not change the teacher-forced
+    loss (CE ignores PAD; masks come from true lengths)."""
+    from adt_str_tpu.config import ModelConfig
+    from adt_str_tpu.data.datasets import trim_token_bucket
+    from adt_str_tpu.models import adt
+
+    mcfg = ModelConfig(
+        input_sec=0.64, time_res=0.01, win_length=256, sample_rate=4000,
+        enc_layers=1, dec_layers=1, nhead=2, d_query=8, dropout=0.0,
+        tgt_vocab_size=32, n_mels=8, compute_dtype="float32", max_positions=256,
+    )
+    params = adt.init_params(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(3)
+    B = 2
+    wave = (rng.normal(size=(B, mcfg.chunk_samples)) * 0.2).astype(np.float32)
+    tokens = np.full((B, 200), 1, np.int64)
+    for i in range(B):
+        n = int(rng.integers(6, 20))
+        tokens[i, 0] = 2
+        tokens[i, 1 : n - 1] = rng.integers(4, 32, n - 2)
+        tokens[i, n - 1] = 3
+    lengths = (tokens != 1).sum(axis=1)
+    trimmed = trim_token_bucket({"tokens": tokens})["tokens"]
+    assert trimmed.shape[1] == 64
+
+    def loss(t):
+        return float(adt.forward_loss(
+            params, jnp.asarray(wave), jnp.asarray(t, jnp.int32),
+            jnp.asarray(lengths, jnp.int32), mcfg,
+        ))
+
+    np.testing.assert_allclose(loss(trimmed), loss(tokens), rtol=1e-6)
 
 
 def test_fx_chain_stable_across_keys():
