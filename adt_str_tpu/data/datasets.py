@@ -224,7 +224,9 @@ def _epoch_batches(
             dataset.example(int(i), np.random.default_rng(int(s)))
             for i, s in zip(idx, sds)
         ]
-        yield collate(examples)
+        # trims only in single-process runs: per-host batch shapes must agree
+        # across processes or the sharded step's collectives deadlock
+        yield collate(examples, trim=process_count == 1)
 
 
 NOTE_BUCKET = 16
@@ -274,17 +276,25 @@ def trim_token_bucket(
     return batch
 
 
-def collate(examples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+def collate(
+    examples: list[dict[str, np.ndarray]], trim: bool = True
+) -> dict[str, np.ndarray]:
     """Stack static-shape examples; apply the reference collate length quirk
     (lengths equal to the batch max decremented by one,
-    train_dataset.py:47-51). Note arrays are bucket-trimmed
-    (`trim_note_bucket`)."""
+    train_dataset.py:47-51).
+
+    `trim` applies the note/token bucket trims. It MUST be False in
+    multi-process training: trims depend on batch content, per-host batches
+    differ, and shape-mismatched jitted steps deadlock the cross-process
+    collectives (caught by tests/test_multihost_train.py)."""
     batch = {
         key: np.stack([e[key] for e in examples]) for key in examples[0]
     }
     lengths = batch["token_lengths"].astype(np.int64)
     batch["token_lengths"] = lengths - (lengths == lengths.max()).astype(np.int64)
-    return trim_token_bucket(trim_note_bucket(batch))
+    if trim:
+        batch = trim_token_bucket(trim_note_bucket(batch))
+    return batch
 
 
 class TMIDTDataset:

@@ -165,5 +165,20 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
 
 
 def shard_batch(mesh: Mesh, batch: Params) -> Params:
+    """Place a batch onto the mesh, sharded over the data axis.
+
+    Multi-process: each host holds only its local rows, so the global array
+    is assembled with `make_array_from_process_local_data` (the per-host
+    loader already strides examples by process_index, trainer._epoch_batches);
+    single-process placement is a plain device_put."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, _np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -50,6 +50,11 @@ def save_checkpoint(
 ) -> str:
     output_dir = Path(output_dir)
     path = output_dir / checkpoint_name(epoch, step)
+    # Multi-host: EVERY process must enter the orbax save (it synchronizes
+    # across the jax cluster and elects the writer itself); calling it from
+    # process 0 alone deadlocks its internal barrier (caught by
+    # tests/test_multihost_train.py). The host-side extras (meta.json,
+    # safetensors export, GC) are single-writer.
     ckptr = ocp.StandardCheckpointer()
     state = {
         "params": jax.tree.map(np.asarray, params),
@@ -57,12 +62,13 @@ def save_checkpoint(
     }
     ckptr.save((path / "state").absolute(), state)
     ckptr.wait_until_finished()
-    with open(path / "meta.json", "w") as f:
-        json.dump({"step": int(step), "epoch": int(epoch)}, f)
-    if export_safetensors_file:
-        export_safetensors(params, path / "model.safetensors")
-    if max_checkpoints:
-        gc_checkpoints(output_dir, max_checkpoints)
+    if jax.process_index() == 0:
+        with open(path / "meta.json", "w") as f:
+            json.dump({"step": int(step), "epoch": int(epoch)}, f)
+        if export_safetensors_file:
+            export_safetensors(params, path / "model.safetensors")
+        if max_checkpoints:
+            gc_checkpoints(output_dir, max_checkpoints)
     return str(path)
 
 

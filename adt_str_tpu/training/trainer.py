@@ -62,6 +62,8 @@ def setup_logging(log_level: str = "INFO") -> None:
 def _maybe_wandb(cfg: FrameworkConfig):
     if not cfg.experiment.use_wandb:
         return None
+    if jax.process_index() != 0:  # one wandb run per job, not per host
+        return None
     try:
         import wandb
 
@@ -166,24 +168,31 @@ def train(cfg: FrameworkConfig) -> TrainState:
     params = adt.init_params(jax.random.PRNGKey(cfg.experiment.seed), model_cfg)
     logger.info("model params: %.2f M", adt.param_count(params) / 1e6)
 
-    n_devices = len(jax.local_devices())
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
     process_count = jax.process_count()
     process_index = jax.process_index()
-    global_batch = cfg.training.batch_size * max(1, n_devices)  # per process
+    # rows this process loads per step; the global batch is process_count x
+    # this (each host strides the epoch by process_index, _epoch_batches)
+    global_batch = cfg.training.batch_size * max(1, n_local)
     steps_per_epoch = max(1, len(dataset) // (global_batch * process_count))
     total_steps = int(steps_per_epoch * float(cfg.training.num_epochs))
     if cfg.training.max_steps:
         total_steps = min(total_steps, cfg.training.max_steps)
     logger.info(
-        "devices=%d global_batch=%d steps/epoch=%d total_steps=%d",
-        n_devices, global_batch, steps_per_epoch, total_steps,
+        "devices=%d local (%d global, %d processes) per-host batch=%d "
+        "steps/epoch=%d total_steps=%d",
+        n_local, n_global, process_count, global_batch, steps_per_epoch,
+        total_steps,
     )
 
     tx, schedule = make_optimizer(cfg.training, total_steps, params)
 
     mesh = None
-    if n_devices > 1:
-        mesh = mesh_lib.make_mesh(n_data=n_devices, n_model=1)
+    if n_global > 1:
+        # the mesh spans ALL global devices; params are identical on every
+        # host (same seed), so the global device_put in shard_params is valid
+        mesh = mesh_lib.make_mesh(n_data=n_global, n_model=1)
         params = mesh_lib.shard_params(mesh, params)
 
     if data_cfg.dataset_name == "Lakh":
@@ -271,12 +280,16 @@ def train(cfg: FrameworkConfig) -> TrainState:
             if step_idx >= total_steps:
                 done = True
                 break
-            device_batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+            device_batch = dict(batch)
             if data_cfg.dataset_name != "Lakh":
                 device_batch.pop("notes", None)
                 device_batch.pop("note_mask", None)
             if mesh is not None:
                 device_batch = mesh_lib.shard_batch(mesh, device_batch)
+            else:
+                device_batch = {
+                    k: jax.numpy.asarray(v) for k, v in device_batch.items()
+                }
 
             if profile_steps and step_idx == profile_steps[0]:
                 jax.profiler.start_trace(str(output_dir / "profile"))
@@ -308,12 +321,15 @@ def train(cfg: FrameworkConfig) -> TrainState:
                 cfg.logging.save_every_n_steps
                 and step_idx % cfg.logging.save_every_n_steps == 0
             ):
+                # every process enters the save (orbax synchronizes the jax
+                # cluster and elects the writer; see checkpoint.py)
                 path = ckpt_lib.save_checkpoint(
                     output_dir, state.params, state.opt_state, step_idx, epoch,
                     max_checkpoints=cfg.checkpoint.max_checkpoints,
                 )
                 last_saved_step = step_idx
-                logger.info("saved checkpoint %s", path)
+                if process_index == 0:
+                    logger.info("saved checkpoint %s", path)
         epoch += 1
         if step_idx >= total_steps:
             done = True
@@ -323,7 +339,8 @@ def train(cfg: FrameworkConfig) -> TrainState:
             output_dir, state.params, state.opt_state, step_idx, epoch,
             max_checkpoints=cfg.checkpoint.max_checkpoints,
         )
-        logger.info("training complete; final checkpoint %s", path)
+        if process_index == 0:
+            logger.info("training complete; final checkpoint %s", path)
     else:
         logger.info("training complete (final step already checkpointed)")
     if wandb:
