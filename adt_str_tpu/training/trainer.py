@@ -256,6 +256,27 @@ def train(cfg: FrameworkConfig) -> TrainState:
 
     from adt_str_tpu.data.datasets import prefetch_batches
 
+    # Preemption-safe shutdown (the reference has no preemption handling,
+    # SURVEY.md §5.3): SIGTERM/SIGINT set a flag; the loop finishes the
+    # in-flight step, saves a checkpoint (single-process — in multi-host
+    # runs signal timing can straddle a step boundary and a lone host
+    # entering the orbax barrier would deadlock, so multi-host relies on the
+    # periodic save cadence + auto-resume), and exits cleanly.
+    import signal
+
+    stop_requested = {"flag": False}
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):  # pragma: no cover - exercised via e2e test
+        stop_requested["flag"] = True
+        logger.info("signal %d received: will checkpoint and stop", signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread (tests)
+            pass
+
     step_idx = start_step
     t_last = time.perf_counter()
     # deterministic resume: the data order and augmentation stream are keyed
@@ -330,6 +351,19 @@ def train(cfg: FrameworkConfig) -> TrainState:
                 last_saved_step = step_idx
                 if process_index == 0:
                     logger.info("saved checkpoint %s", path)
+            # honored single-process only: in multi-host runs signal timing
+            # can straddle a step boundary and a host breaking alone would
+            # desynchronize the collectives (rely on the save cadence there)
+            if stop_requested["flag"] and process_count == 1:
+                if last_saved_step != step_idx:
+                    path = ckpt_lib.save_checkpoint(
+                        output_dir, state.params, state.opt_state, step_idx,
+                        epoch, max_checkpoints=cfg.checkpoint.max_checkpoints,
+                    )
+                    last_saved_step = step_idx
+                    logger.info("preemption checkpoint %s", path)
+                done = True
+                break
         epoch += 1
         if step_idx >= total_steps:
             done = True
@@ -343,6 +377,8 @@ def train(cfg: FrameworkConfig) -> TrainState:
             logger.info("training complete; final checkpoint %s", path)
     else:
         logger.info("training complete (final step already checkpointed)")
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     if wandb:
         wandb.finish()
     return state

@@ -98,6 +98,44 @@ def test_train_e2e_and_resume(train_env):
     assert "step-6" in latest2
 
 
+def test_preemption_signal_checkpoints_and_stops(train_env):
+    """SIGTERM mid-run -> the loop finishes the in-flight step, writes a
+    preemption checkpoint, and exits cleanly; auto-resume then continues from
+    it. The reference has no preemption handling (SURVEY.md §5.3)."""
+    import os
+    import signal
+    import threading
+
+    import time
+
+    cfg = make_cfg(train_env, max_steps=500)
+    cfg.experiment.run_name = "preempt"
+
+    def fire_when_handler_installed():
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            h = signal.getsignal(signal.SIGTERM)
+            if callable(h) and getattr(h, "__name__", "") == "_on_signal":
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.2)
+
+    trigger = threading.Thread(target=fire_when_handler_installed, daemon=True)
+    trigger.start()
+    state = train(cfg)
+    trigger.join(timeout=5)
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 500  # stopped early, after at least one step
+    latest = ckpt_lib.latest_checkpoint(f"{train_env['out']}/preempt")
+    assert latest is not None and f"step-{stopped_at}" in latest
+
+    # auto-resume picks the preemption checkpoint up
+    cfg2 = make_cfg(train_env, max_steps=stopped_at + 2)
+    cfg2.experiment.run_name = "preempt"
+    state2 = train(cfg2)
+    assert int(state2.step) == stopped_at + 2
+
+
 def test_checkpoint_roundtrip_and_safetensors(tmp_path, train_env):
     import jax
 
