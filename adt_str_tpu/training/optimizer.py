@@ -46,6 +46,44 @@ def warmup_cosine_schedule(
     return schedule
 
 
+def make_schedule(config: TrainingConfig, total_steps: int) -> optax.Schedule:
+    """Resolve `lr_scheduler_type` with the reference's semantics
+    (train.py:202-216 + HF TrainingArguments types): `cosine` (upgraded to
+    the min-LR-floor variant when `min_learning_rate > 0`), `linear`
+    (decay to 0 at total_steps), `constant_with_warmup`, `constant`."""
+    t = (config.lr_scheduler_type or "cosine").lower()
+    base_lr = float(config.learning_rate)
+    warmup_steps = int(total_steps * config.warmup_ratio)
+    if t in ("cosine", "cosine_warmup_with_min_lr", "cosine_with_min_lr"):
+        return warmup_cosine_schedule(
+            base_lr=base_lr,
+            total_steps=total_steps,
+            warmup_ratio=config.warmup_ratio,
+            min_lr=config.min_learning_rate,
+        )
+    if t == "linear":
+        def linear(step):
+            step = jnp.asarray(step, jnp.float32)
+            warm = base_lr * step / jnp.maximum(warmup_steps, 1)
+            denom = jnp.maximum(total_steps - warmup_steps, 1)
+            decay = base_lr * jnp.clip(
+                (total_steps - step) / denom, 0.0, 1.0
+            )
+            return jnp.where(step < warmup_steps, warm, decay)
+
+        return linear
+    if t in ("constant", "constant_with_warmup"):
+        w = warmup_steps if t == "constant_with_warmup" else 0
+
+        def const(step):
+            step = jnp.asarray(step, jnp.float32)
+            warm = base_lr * step / jnp.maximum(w, 1)
+            return jnp.where(step < w, warm, base_lr)
+
+        return const
+    raise ValueError(f"unsupported lr_scheduler_type: {config.lr_scheduler_type}")
+
+
 def decay_mask(params: Any) -> Any:
     """HF Trainer rule: decay everything except biases and LayerNorm params.
 
@@ -63,12 +101,7 @@ def decay_mask(params: Any) -> Any:
 def make_optimizer(
     config: TrainingConfig, total_steps: int, params: Any
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    schedule = warmup_cosine_schedule(
-        base_lr=float(config.learning_rate),
-        total_steps=total_steps,
-        warmup_ratio=config.warmup_ratio,
-        min_lr=config.min_learning_rate,
-    )
+    schedule = make_schedule(config, total_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(float(config.max_grad_norm)),
         optax.adamw(

@@ -227,6 +227,12 @@ def train(cfg: FrameworkConfig) -> TrainState:
     # keys so the eval stream is constant across calls.
     eval_every = cfg.logging.eval_every_n_steps
     eval_step_fn = None
+    if eval_every and process_count > 1:
+        # evaluate_loss drives host-local batches against what are global
+        # (mesh-sharded) params in multi-host runs; run evals offline from a
+        # checkpoint instead (eval.py) until a sharded eval path exists
+        logger.warning("eval_every_n_steps is single-process only; disabled")
+        eval_every = 0
     if eval_every:
         from adt_str_tpu.parallel.train_step import make_eval_step, make_synth_eval_step
 

@@ -126,6 +126,46 @@ def test_schedule_without_min_lr_decays_to_zero():
     assert float(sched(99)) < 1e-6
 
 
+def test_lr_scheduler_type_variants():
+    """lr_scheduler_type resolves to the HF-type schedules the reference's
+    _resolve_lr_scheduler_type supports (train.py:202-216)."""
+    from adt_str_tpu.config import TrainingConfig
+    from adt_str_tpu.training.optimizer import make_schedule
+
+    base = dict(learning_rate=1e-3, warmup_ratio=0.1)
+    lin = make_schedule(
+        TrainingConfig(lr_scheduler_type="linear", **base), total_steps=100
+    )
+    np.testing.assert_allclose(float(lin(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(55)), 1e-3 * 0.5, rtol=1e-6)
+    assert float(lin(100)) == 0.0
+
+    cw = make_schedule(
+        TrainingConfig(lr_scheduler_type="constant_with_warmup", **base),
+        total_steps=100,
+    )
+    assert float(cw(0)) == 0.0
+    np.testing.assert_allclose(float(cw(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(cw(99)), 1e-3, rtol=1e-6)
+
+    const = make_schedule(
+        TrainingConfig(lr_scheduler_type="constant", **base), total_steps=100
+    )
+    np.testing.assert_allclose(float(const(0)), 1e-3, rtol=1e-6)
+
+    cos_min = make_schedule(
+        TrainingConfig(min_learning_rate=1e-5, **base), total_steps=100
+    )
+    np.testing.assert_allclose(float(cos_min(99)), 1e-5, rtol=1e-6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_schedule(
+            TrainingConfig(lr_scheduler_type="polynomial", **base), total_steps=100
+        )
+
+
 def test_decay_mask_excludes_norm_and_bias():
     from adt_str_tpu.training.optimizer import decay_mask
 
