@@ -172,9 +172,15 @@ def train(cfg: FrameworkConfig) -> TrainState:
     n_global = len(jax.devices())
     process_count = jax.process_count()
     process_index = jax.process_index()
-    # rows this process loads per step; the global batch is process_count x
-    # this (each host strides the epoch by process_index, _epoch_batches)
-    global_batch = cfg.training.batch_size * max(1, n_local)
+    # mesh layout from config (MeshConfig): model_axis > 1 enables the
+    # Megatron-style TP shardings in parallel/mesh.py
+    n_model = max(1, cfg.mesh.model_axis)
+    assert n_global % n_model == 0, (n_global, n_model)
+    n_data = cfg.mesh.data_axis if cfg.mesh.data_axis > 0 else n_global // n_model
+    # rows this process loads per step: batch_size per data-parallel replica;
+    # the global batch is process_count x this (each host strides the epoch
+    # by process_index, _epoch_batches)
+    global_batch = cfg.training.batch_size * max(1, n_local // n_model)
     steps_per_epoch = max(1, len(dataset) // (global_batch * process_count))
     total_steps = int(steps_per_epoch * float(cfg.training.num_epochs))
     if cfg.training.max_steps:
@@ -192,7 +198,7 @@ def train(cfg: FrameworkConfig) -> TrainState:
     if n_global > 1:
         # the mesh spans ALL global devices; params are identical on every
         # host (same seed), so the global device_put in shard_params is valid
-        mesh = mesh_lib.make_mesh(n_data=n_global, n_model=1)
+        mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
         params = mesh_lib.shard_params(mesh, params)
 
     if data_cfg.dataset_name == "Lakh":

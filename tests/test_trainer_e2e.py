@@ -98,6 +98,16 @@ def test_train_e2e_and_resume(train_env):
     assert "step-6" in latest2
 
 
+def test_train_with_tensor_parallel_mesh(train_env):
+    """MeshConfig.model_axis=2 trains through the trainer on the virtual
+    8-device mesh (data=4 x model=2, Megatron TP shardings)."""
+    cfg = make_cfg(train_env, max_steps=2)
+    cfg.experiment.run_name = "tp"
+    cfg.mesh.model_axis = 2
+    state = train(cfg)
+    assert int(state.step) == 2
+
+
 def test_preemption_signal_checkpoints_and_stops(train_env):
     """SIGTERM mid-run -> the loop finishes the in-flight step, writes a
     preemption checkpoint, and exits cleanly; auto-resume then continues from
