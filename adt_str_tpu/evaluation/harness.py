@@ -73,11 +73,28 @@ def run_inference(
     tokenizer: MidiTokenizer,
     inference_config: InferenceConfig,
     exclude_ref_empty: bool = False,
+    mesh=None,
 ) -> dict:
-    """-> combined metrics dict {"all": {...}, "<label>": {...}}."""
+    """-> combined metrics dict {"all": {...}, "<label>": {...}}.
+
+    With `mesh`, decode runs data-parallel over the mesh's data axis: params
+    are placed per their shardings and each batch's rows are split across
+    devices; GSPMD partitions the KV-cache decode loop along the batch dim.
+    The reference evaluates on a single device only (eval.py:452)."""
     cfg = inference_config
     max_len = max(2, int(cfg.max_length))
     TP = FN = FP = 0
+    batch_rows = cfg.batch_size
+    sharding = None
+    if mesh is not None:
+        import jax
+
+        from adt_str_tpu.parallel import mesh as mesh_lib
+
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        batch_rows = -(-cfg.batch_size // n_data) * n_data  # divisible rows
+        sharding = mesh_lib.batch_sharding(mesh)
+        params = mesh_lib.shard_params(mesh, params)
     per_label = new_per_label_accumulator()
     confusion = DrumConfusionMatrix(
         ADTOF_LABEL_MAPPING if tokenizer.ADTOF_mapping else GM_REDUCED_NAME_CONVENTION
@@ -93,17 +110,23 @@ def run_inference(
         if max(len(w) for w in raw_wavs) < 1024:
             continue
         # pad ragged final batches with silent rows so every batch reuses the
-        # same compiled decode program (a new batch shape costs a recompile)
+        # same compiled decode program (a new batch shape costs a recompile);
+        # under a mesh, rows are also rounded up to the data-axis size
         n_real = len(raw_wavs)
-        if n_real < cfg.batch_size:
+        if n_real < batch_rows:
             raw_wavs = list(raw_wavs) + [
-                np.zeros(1024, np.float32) for _ in range(cfg.batch_size - n_real)
+                np.zeros(1024, np.float32) for _ in range(batch_rows - n_real)
             ]
         wavs = _pad_batch(raw_wavs, model_config.chunk_samples)
+        wavs_dev = jnp.asarray(wavs)
+        if sharding is not None:
+            import jax
+
+            wavs_dev = jax.device_put(wavs_dev, sharding)
         if cfg.use_beam_search:
             tokens_pred = decode_lib.beam_search_decode(
                 params,
-                jnp.asarray(wavs),
+                wavs_dev,
                 model_config,
                 beam_size=cfg.beam_size or 5,
                 max_length=max_len,
@@ -113,7 +136,7 @@ def run_inference(
         else:
             tokens_pred = decode_lib.greedy_decode(
                 params,
-                jnp.asarray(wavs),
+                wavs_dev,
                 model_config,
                 max_length=max_len,
                 start_token=tokenizer.BOS_token,

@@ -46,6 +46,17 @@ def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
         raise ValueError(f"Dataset name {cfg.eval_data.dataset_name} not supported")
     logger.info("Dataset size: %d", len(dataset))
 
+    # data-parallel decode over all available devices (the reference
+    # evaluates on one device, eval.py:452)
+    import jax
+
+    from adt_str_tpu.parallel import mesh as mesh_lib
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
+        logger.info("sharding eval decode over %d devices", len(jax.devices()))
+
     metrics = run_inference(
         params,
         cfg.model,
@@ -53,6 +64,7 @@ def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
         tokenizer,
         cfg.inference,
         exclude_ref_empty=exclude_ref_empty,
+        mesh=mesh,
     )
     logger.info("=" * 50)
     logger.info("RESULTS:")

@@ -78,6 +78,32 @@ def test_run_inference_end_to_end(tmp_path):
     assert saved["all"] == metrics["all"]
 
 
+def test_run_inference_sharded_matches_single_device(tmp_path):
+    """Mesh-sharded decode (data-parallel over the virtual 8-device mesh)
+    produces identical metrics to the single-device path, including a ragged
+    final batch padded up to the data-axis size."""
+    from adt_str_tpu.parallel import mesh as mesh_lib
+
+    parquet = str(tmp_path / "enst.parquet")
+    _make_eval_parquet(parquet, n_items=5)
+    mcfg = ModelConfig(
+        sample_rate=SR, win_length=256, time_res=0.01, input_sec=0.64,
+        enc_layers=1, dec_layers=1, nhead=2, d_query=16, dropout=0.0,
+        tgt_vocab_size=1400, n_mels=16, compute_dtype="float32", max_positions=64,
+    )
+    params = adt.init_params(jax.random.PRNGKey(0), mcfg)
+    tok = MidiTokenizer(TokenizerConfig())
+    ds = ENSTDataset(
+        EvalDataConfig(dataset_path=parquet, dataset_name="ENST", sample_rate=SR),
+        tok,
+    )
+    icfg = InferenceConfig(batch_size=3, max_length=12, use_beam_search=False)
+    single = run_inference(params, mcfg, ds, tok, icfg)
+    mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
+    sharded = run_inference(params, mcfg, ds, tok, icfg, mesh=mesh)
+    assert single == sharded
+
+
 def test_decode_tokens_to_notes():
     tok = MidiTokenizer(TokenizerConfig())
     # BOS t p v t p v EOS garbage
