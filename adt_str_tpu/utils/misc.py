@@ -73,3 +73,23 @@ def save_to_hdf_variations(hf, inst_group, wav_seg, tokens) -> None:
     if tokens is not None:
         for i in range(3):
             seg_group.create_dataset(f"midi{i}", data=tokens[i])
+
+
+def pin_jax_platform_from_env() -> None:
+    """Honor the JAX_PLATFORMS env var even under PJRT plugins that register
+    themselves ahead of env handling (this image's `axon` plugin overrides
+    the variable at interpreter startup). Must run before any JAX backend
+    query; a no-op when the variable is unset or JAX is already initialized.
+    Lets `JAX_PLATFORMS=cpu python train.py ...` behave as documented (the
+    CLI smoke tests rely on it to stay hermetic)."""
+    import os
+
+    value = os.environ.get("JAX_PLATFORMS")
+    if not value:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", value)
+    except RuntimeError:  # pragma: no cover - backend already initialized
+        pass

@@ -11,6 +11,10 @@ import argparse
 import logging
 from pathlib import Path
 
+from adt_str_tpu.utils.misc import pin_jax_platform_from_env
+
+pin_jax_platform_from_env()
+
 from adt_str_tpu.config import FrameworkConfig
 from adt_str_tpu.data.datasets import ENSTDataset, MDBDataset
 from adt_str_tpu.domain.tokenizer import MidiTokenizer

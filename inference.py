@@ -21,6 +21,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from adt_str_tpu.utils.misc import pin_jax_platform_from_env
+
+pin_jax_platform_from_env()
+
 from adt_str_tpu.config import FrameworkConfig
 from adt_str_tpu.domain.tokenizer import MidiTokenizer
 from adt_str_tpu.evaluation.harness import decode_tokens_to_notes

@@ -10,6 +10,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from adt_str_tpu.utils.misc import pin_jax_platform_from_env
+
+pin_jax_platform_from_env()
+
 from adt_str_tpu.config import ClapConfig, load_merged_config, make_dataclass_from
 from adt_str_tpu.training.trainer import setup_logging
 

@@ -27,6 +27,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from adt_str_tpu.utils.misc import pin_jax_platform_from_env
+
+pin_jax_platform_from_env()
+
 from adt_str_tpu.config import FrameworkConfig
 from adt_str_tpu.domain.tokenizer import MidiTokenizer
 from adt_str_tpu.evaluation.harness import decode_tokens_to_notes

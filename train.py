@@ -10,6 +10,10 @@ import argparse
 
 import jax
 
+from adt_str_tpu.utils.misc import pin_jax_platform_from_env
+
+pin_jax_platform_from_env()
+
 from adt_str_tpu.config import FrameworkConfig
 from adt_str_tpu.training.trainer import train
 
