@@ -103,6 +103,13 @@ def test_run_inference_sharded_matches_single_device(tmp_path):
     sharded = run_inference(params, mcfg, ds, tok, icfg, mesh=mesh)
     assert single == sharded
 
+    bcfg = InferenceConfig(
+        batch_size=3, max_length=10, use_beam_search=True, beam_size=2
+    )
+    b_single = run_inference(params, mcfg, ds, tok, bcfg)
+    b_sharded = run_inference(params, mcfg, ds, tok, bcfg, mesh=mesh)
+    assert b_single == b_sharded
+
 
 def test_decode_tokens_to_notes():
     tok = MidiTokenizer(TokenizerConfig())
