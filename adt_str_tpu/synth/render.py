@@ -138,9 +138,10 @@ def vel_to_vol(velocity, min_volume=0.1, max_volume=1.0, base=6.0):
 
 def _sample_timbre_rows(
     statics: SynthStatics, key: jax.Array, n_allowed: int, adtof: bool
-) -> jnp.ndarray:
-    """(N_SLOTS,) bank-row index per drum pitch slot: the per-segment timbre
-    draw. Sequence of choices mirrors `random_choice_timbre`
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N_SLOTS,) bank-row index per drum pitch slot + (N_SLOTS,) validity
+    (False when the pitch has no eligible bank bin — the caller silences such
+    slots). Sequence of choices mirrors `random_choice_timbre`
     (synthetiser.py:192-202): [ADTOF member pitch] -> eligible existing bin ->
     timbre within bin."""
     k_member, k_bin, k_timbre = jax.random.split(key, 3)
@@ -163,7 +164,7 @@ def _sample_timbre_rows(
 
     cnt = counts[jnp.arange(N_SLOTS), bin_idx]
     t = jax.random.randint(k_timbre, (N_SLOTS,), 0, jnp.maximum(cnt, 1))
-    return statics.bin_offset[pitches, bin_idx] + t
+    return statics.bin_offset[pitches, bin_idx] + t, n_eligible > 0
 
 
 @partial(
@@ -203,10 +204,10 @@ def render_batch_arrays(
     subkeys = jax.vmap(lambda k: jax.random.split(k, 5))(keys)  # (B, 5, 2)
     k_main, k_sub, k_mix, k_usefx, k_fx = (subkeys[:, i] for i in range(5))
 
-    main_rows = jax.vmap(
+    main_rows, main_valid = jax.vmap(
         lambda k: _sample_timbre_rows(statics, k, n_allowed, adtof)
     )(k_main)  # (B, N_SLOTS)
-    sub_rows = jax.vmap(
+    sub_rows, sub_valid = jax.vmap(
         lambda k: _sample_timbre_rows(statics, k, n_allowed, adtof)
     )(k_sub)
 
@@ -235,6 +236,14 @@ def render_batch_arrays(
     slot = jnp.clip(pitch - PITCH_LO, 0, N_SLOTS - 1)
     gain = vel_to_vol(velocity) * statics.class_gain[pitch]
     gain = jnp.where(mask & (pitch >= PITCH_LO) & (pitch <= PITCH_HI), gain, 0.0)
+    # a slot whose timbre draw found no eligible bank bin renders SILENT: the
+    # zero-initialized offset table would otherwise gather row 0 — a
+    # different instrument's sample. (The reference crashes with a KeyError
+    # on a missing h5 pitch group, synthetiser.py:171-201; silence is the
+    # graceful equivalent and is correct in ADTOF mode, where eligibility is
+    # evaluated after the member-pitch draw.)
+    slot_ok = main_valid & sub_valid  # (B, N_SLOTS)
+    gain = gain * jnp.take_along_axis(slot_ok, slot, axis=1).astype(gain.dtype)
     # fold the blend's peak-normalization into the per-note gain: the
     # normalized (B, N_SLOTS, L) blend tensor never needs materializing
     # (saves a ~200 MB round trip per step at the flagship shapes)

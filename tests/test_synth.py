@@ -226,6 +226,34 @@ def test_render_deterministic_per_key(statics):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pitch_without_bank_entries_renders_silent(statics):
+    """A note whose pitch has no eligible bank bin must contribute silence —
+    not bank row 0, which belongs to a different instrument. (The reference
+    raises KeyError on the missing h5 group, synthetiser.py:171-201.)"""
+    c = cfg()
+    # pitch 50 is valid GM drum range but absent from the test bank (PITCHES)
+    notes, mask = pad_notes(np.array([[0.1, 0.2, 50, 120]], dtype=np.float32), 8)
+    wav = np.asarray(render_segment(
+        statics, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(3),
+        chunk_samples=c.chunk_samples, sample_rate=SR,
+    ))
+    np.testing.assert_array_equal(wav, 0.0)
+
+    # mixed with a valid note, only the valid one sounds
+    notes2, mask2 = pad_notes(
+        np.array([[0.1, 0.2, 50, 120], [0.3, 0.4, 38, 120]], dtype=np.float32), 8
+    )
+    wav2 = np.asarray(render_segment(
+        statics, jnp.asarray(notes2), jnp.asarray(mask2), jax.random.PRNGKey(3),
+        chunk_samples=c.chunk_samples, sample_rate=SR,
+    ))
+    onset_50 = int(0.1 * SR)
+    # the portable FFT conv spreads ~1e-8 numerical dust across the chunk;
+    # anything above that in the invalid note's window would be a real sample
+    assert np.abs(wav2[onset_50 : onset_50 + 200]).max() < 1e-6
+    assert np.abs(wav2).max() > 0.1
+
+
 def test_render_invariant_to_note_padding(statics):
     """Bucket-trimming the padded note dim (datasets.trim_note_bucket) must
     not change the rendered audio: masked slots contribute nothing and the

@@ -36,6 +36,20 @@ SR = 24_000
 PITCHES = [35, 36, 38, 40, 41, 42, 44, 46, 48, 49, 51]
 
 
+def mapped_pitches(pitches=PITCHES) -> list[int]:
+    """GM-custom image of the raw GM pitches (what the training pipeline
+    tokenizes AND renders — LakhDataset maps notes before both): the bank
+    must be keyed by these, not the raw values (map_notes_to_Gm_custom
+    renumbers e.g. 44->43, 49->46, 51->48)."""
+    from adt_str_tpu.config import TokenizerConfig
+    from adt_str_tpu.domain.tokenizer import MidiTokenizer
+
+    tok = MidiTokenizer(TokenizerConfig())
+    notes = np.array([[0.0, 0.1, p, 100] for p in pitches], np.float32)
+    out = tok.map_notes_to_Gm_custom(notes, rng=np.random.default_rng(0))
+    return [int(v) for v in out[:, 2]]
+
+
 def write_lakh_parquet(path: Path, n_segments: int, rng: np.random.Generator) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -58,20 +72,32 @@ def write_lakh_parquet(path: Path, n_segments: int, rng: np.random.Generator) ->
 
 
 def write_bank(prefix: str, rng: np.random.Generator) -> None:
+    """Synthetic one-shot bank with an acoustically DISTINCT signature per
+    pitch (log-spaced fundamental + per-pitch tone/noise mix and decay): with
+    near-identical per-pitch timbres the exact-pitch metric saturates at the
+    class level (the model cannot hear the difference), which is a data
+    artifact rather than a model limit."""
     from adt_str_tpu.synth.bank import save_bank_hdf5
 
     max_len = int(1.28 * SR)
     t = np.arange(max_len) / SR
     entries = {}
-    for pitch in PITCHES:
+    bank_pitches = sorted(set(mapped_pitches()))
+    for idx, pitch in enumerate(bank_pitches):
+        f0 = 70.0 * (1.45 ** idx)  # log-spaced fundamentals, 70 Hz .. ~2.9 kHz
+        # tone fraction stays >= 0.5 so the fundamental is audible through the
+        # noise for every pitch (noise-dominated mixes mask f0 and collapse
+        # exact-pitch discrimination to the class level)
+        tone = 0.5 + 0.045 * ((idx * 5) % 11)
+        decay_lo, decay_hi = 4 + 3 * (idx % 4), 12 + 6 * (idx % 4)
         entries[pitch] = {}
         for bin_name in ("gold", "100-90", "90-80"):
             waves = []
             for _ in range(8):
                 n = int(rng.integers(max_len // 4, max_len))
-                f0 = 60 + 40 * (pitch - 35)
-                w = np.exp(-t[:n] * rng.uniform(5, 30)) * (
-                    0.7 * np.sin(2 * np.pi * f0 * t[:n]) + 0.3 * rng.normal(size=n)
+                w = np.exp(-t[:n] * rng.uniform(decay_lo, decay_hi)) * (
+                    tone * np.sin(2 * np.pi * f0 * t[:n])
+                    + (1.0 - tone) * rng.normal(size=n)
                 )
                 waves.append(w.astype(np.float32))
             entries[pitch][bin_name] = waves
@@ -112,9 +138,25 @@ def render_eval_parquet(
             axis=1,
         )
         mask[i, :n] = True
+    # render the GM-custom-MAPPED notes — exactly what the training pipeline
+    # renders (LakhDataset maps before synthesis); the parquet stores the raw
+    # notes and the eval dataset applies the same map to the ground truth
+    from adt_str_tpu.config import TokenizerConfig
+    from adt_str_tpu.domain.tokenizer import MidiTokenizer
+
+    tok = MidiTokenizer(TokenizerConfig())
+    render_notes = notes.copy()
+    for i in range(n_items):
+        k = int(mask[i].sum())
+        if k:
+            render_notes[i, :k] = tok.map_notes_to_Gm_custom(
+                notes[i, :k], rng=np.random.default_rng(1)
+            )
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n_items) + 10_000)
     wavs = np.asarray(
-        render_batch(statics, jnp.asarray(notes), jnp.asarray(mask), keys, synth_cfg)
+        render_batch(
+            statics, jnp.asarray(render_notes), jnp.asarray(mask), keys, synth_cfg
+        )
     )
 
     rows = {"audio_id": [], "drummer": [], "audio": [], "sample_rate": [], "notes": []}
