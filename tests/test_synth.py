@@ -254,6 +254,37 @@ def test_pitch_without_bank_entries_renders_silent(statics):
     assert np.abs(wav2).max() > 0.1
 
 
+def test_adtof_member_draw_renders_when_members_present():
+    """ADTOF mode draws a member pitch before bin eligibility: a class pitch
+    whose drawn member has bank entries must render (the missing-bin silence
+    guard is evaluated AFTER the member draw). With all members of HH (42 ->
+    {42,43,44,50}) present, every key renders audio."""
+    c = cfg()
+    rng = np.random.default_rng(4)
+    bank = make_test_bank(rng, [42, 43, 44, 50], sample_rate=SR, max_len=SR // 2)
+    st = SynthStatics.from_bank(bank)
+    notes, mask = pad_notes(np.array([[0.1, 0.2, 42, 110]], dtype=np.float32), 8)
+    for i in range(5):
+        wav = np.asarray(render_segment(
+            st, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(i),
+            chunk_samples=c.chunk_samples, sample_rate=SR, adtof=True,
+        ))
+        assert np.abs(wav).max() > 0.0, i
+
+    # with only one member present, some draws land on absent members and
+    # render silent (the reference would KeyError there); others render
+    bank1 = make_test_bank(rng, [42], sample_rate=SR, max_len=SR // 2)
+    st1 = SynthStatics.from_bank(bank1)
+    outcomes = set()
+    for i in range(12):
+        wav = np.asarray(render_segment(
+            st1, jnp.asarray(notes), jnp.asarray(mask), jax.random.PRNGKey(i),
+            chunk_samples=c.chunk_samples, sample_rate=SR, adtof=True,
+        ))
+        outcomes.add(bool(np.abs(wav).max() > 0.0))
+    assert True in outcomes  # at least one draw hit the present member
+
+
 def test_render_invariant_to_note_padding(statics):
     """Bucket-trimming the padded note dim (datasets.trim_note_bucket) must
     not change the rendered audio: masked slots contribute nothing and the
