@@ -93,3 +93,24 @@ def pin_jax_platform_from_env() -> None:
         jax.config.update("jax_platforms", value)
     except RuntimeError:  # pragma: no cover - backend already initialized
         pass
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache under the system temp dir.
+
+    Compiled executables are keyed by HLO hash, so reruns of the driver
+    entry points (bench.py, __graft_entry__, the CLIs) skip recompilation —
+    which on this image also sidesteps a flaky remote-compile tunnel once a
+    healthy run has populated the cache."""
+    import os
+    import tempfile
+
+    import jax
+
+    path = os.path.join(tempfile.gettempdir(), "adt_str_tpu_jax_cache")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass

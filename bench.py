@@ -56,6 +56,10 @@ def _make_notes(rng, batch_size):
 
 def main() -> None:
     import jax
+
+    from adt_str_tpu.utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
     # XLA's hardware RngBitGenerator for dropout masks: threefry mask
