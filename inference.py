@@ -46,18 +46,40 @@ def chunk_audio(wave: np.ndarray, chunk_samples: int) -> tuple[np.ndarray, np.nd
 
 
 def transcribe(
-    params, cfg: FrameworkConfig, wave: np.ndarray, tokenizer: MidiTokenizer
+    params, cfg: FrameworkConfig, wave: np.ndarray, tokenizer: MidiTokenizer,
+    mesh=None,
 ) -> np.ndarray:
+    """Chunked greedy transcription; with `mesh`, the chunks decode
+    data-parallel across the mesh's data axis (the reference's long-audio
+    strategy is sequential per-chunk decoding on one device,
+    inference.py:98-120)."""
     chunks, starts = chunk_audio(wave, cfg.shared.chunk_samples)
+    n_real = len(chunks)
+    wavs_dev = jnp.asarray(chunks)
+    if mesh is not None:
+        import jax
+
+        from adt_str_tpu.parallel import mesh as mesh_lib
+
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        pad = (-n_real) % n_data
+        if pad:
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad, chunks.shape[1]), np.float32)]
+            )
+        wavs_dev = jax.device_put(
+            jnp.asarray(chunks), mesh_lib.batch_sharding(mesh)
+        )
+        params = mesh_lib.shard_params(mesh, params)
     tokens = decode_lib.greedy_decode(
         params,
-        jnp.asarray(chunks),
+        wavs_dev,
         cfg.model,
         max_length=int(cfg.inference.max_length),
         start_token=tokenizer.BOS_token,
         end_token=tokenizer.EOS_token,
     )
-    tokens = np.asarray(tokens)
+    tokens = np.asarray(tokens)[:n_real]
     all_notes = []
     for i, start in enumerate(starts):
         notes = decode_tokens_to_notes(tokenizer, tokens[i])
@@ -87,7 +109,15 @@ def main() -> None:
 
     print(f"Loading audio: {args.input_path}")
     wave = load_and_resample(args.input_path, cfg.shared.sample_rate)
-    notes = transcribe(params, cfg, wave, tokenizer)
+    import jax
+
+    from adt_str_tpu.parallel import mesh as mesh_lib
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
+        print(f"Decoding chunks over {len(jax.devices())} devices")
+    notes = transcribe(params, cfg, wave, tokenizer, mesh=mesh)
 
     midi_path = os.path.join(args.output_path, f"{input_stem}.mid")
     write_midi(midi_path, notes, is_drum=True)

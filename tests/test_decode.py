@@ -140,3 +140,36 @@ def test_beam_score_not_worse_than_greedy():
         decode.beam_search_decode(params, jnp.asarray(wave), cfg, beam_size=4, max_length=16)
     )[0]
     assert seq_logprob(beam) >= seq_logprob(greedy) - 1e-4
+
+
+def test_transcribe_sharded_matches_single_device(rng):
+    """inference.transcribe over the virtual 8-device mesh (chunk-level data
+    parallelism, incl. padding a non-divisible chunk count) must produce the
+    identical note list as the single-device path."""
+    from adt_str_tpu.config import FrameworkConfig
+    from adt_str_tpu.domain.tokenizer import MidiTokenizer
+    from adt_str_tpu.parallel import mesh as mesh_lib
+    from inference import transcribe
+
+    cfg = FrameworkConfig.from_dict(
+        {
+            "shared": {"input_sec": 0.64, "time_res": 0.01, "win_length": 256,
+                       "sample_rate": 4000},
+            "model": {"enc_layers": 1, "dec_layers": 1, "nhead": 2, "d_query": 16,
+                      "dropout": 0.0, "tgt_vocab_size": 1400, "n_mels": 16,
+                      "compute_dtype": "float32", "max_positions": 64},
+            "tokenizer": {"ADTOF_mapping": False, "BOS_token": 2, "EOS_token": 3,
+                          "pad_token": 1, "silence_token": 0, "add_velocity": True},
+            "inference": {"max_length": 10, "batch_size": 4},
+        }
+    )
+    params = adt.init_params(jax.random.PRNGKey(2), cfg.model)
+    params["decoder"]["generator"]["w"] = params["decoder"]["generator"]["w"] * 4.0
+    tok = MidiTokenizer(cfg.tokenizer)
+    # 5 chunks of audio (not divisible by 8 devices)
+    wave = (rng.normal(size=5 * cfg.shared.chunk_samples - 100) * 0.3).astype(np.float32)
+
+    single = transcribe(params, cfg, wave, tok)
+    mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
+    sharded = transcribe(params, cfg, wave, tok, mesh=mesh)
+    np.testing.assert_array_equal(single, sharded)
