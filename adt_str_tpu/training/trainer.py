@@ -88,6 +88,7 @@ def evaluate_loss(
     statics=None,
     max_batches: int | None = None,
     eval_step=None,
+    mesh=None,
 ) -> float:
     """Teacher-forced validation loss over a dataset (parity with
     `ADTTrainer.evaluate`, train.py:80-141: same tgt_input/labels/padding-mask
@@ -101,7 +102,15 @@ def evaluate_loss(
 
     `eval_step` lets a caller reuse one jitted step across periodic in-training
     evals (rebuilding it every call would recompile).
+
+    With `mesh`, the eval runs sharded like training: each process loads its
+    stride of the fixed unshuffled prefix (`batch_size` rows per host),
+    batches assemble into global arrays, and every host sees the identical
+    replicated loss. The batch count is computed analytically so all hosts
+    take the same number of collective steps (a host running one extra batch
+    would deadlock the others).
     """
+    from adt_str_tpu.parallel import mesh as mesh_lib
     from adt_str_tpu.parallel.train_step import make_eval_step, make_synth_eval_step
 
     rng = rng or np.random.default_rng(0)
@@ -112,22 +121,37 @@ def evaluate_loss(
             if synth
             else make_eval_step(model_cfg)
         )
+    process_count = jax.process_count()
+    process_index = jax.process_index()
+    n_batches = len(dataset) // batch_size
+    if process_count > 1:
+        # every host must run the same number of sharded steps
+        n_batches = (len(dataset) // process_count) // batch_size
+    if max_batches is not None:
+        n_batches = min(n_batches, max_batches)
+
+    def place(batch: dict) -> dict:
+        if mesh is not None:
+            return mesh_lib.shard_batch(mesh, batch)
+        return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+
     eval_key = jax.random.PRNGKey(0)
     total, batches = 0.0, 0
-    for batch in dataset.batches(batch_size, rng, shuffle=False):
-        if max_batches is not None and batches >= max_batches:
+    for batch in dataset.batches(
+        batch_size, rng, shuffle=False,
+        process_index=process_index, process_count=process_count,
+    ):
+        if batches >= n_batches:
             break
         if "wavs" in batch:
-            device_batch = {
-                k: jax.numpy.asarray(batch[k])
-                for k in ("wavs", "tokens", "token_lengths")
-            }
+            device_batch = place(
+                {k: batch[k] for k in ("wavs", "tokens", "token_lengths")}
+            )
             total += float(eval_step(params, device_batch))
         elif "notes" in batch and synth:
-            device_batch = {
-                k: jax.numpy.asarray(batch[k])
-                for k in ("notes", "note_mask", "tokens", "token_lengths")
-            }
+            device_batch = place(
+                {k: batch[k] for k in ("notes", "note_mask", "tokens", "token_lengths")}
+            )
             total += float(
                 eval_step(params, device_batch, jax.random.fold_in(eval_key, batches))
             )
@@ -233,12 +257,6 @@ def train(cfg: FrameworkConfig) -> TrainState:
     # keys so the eval stream is constant across calls.
     eval_every = cfg.logging.eval_every_n_steps
     eval_step_fn = None
-    if eval_every and process_count > 1:
-        # evaluate_loss drives host-local batches against what are global
-        # (mesh-sharded) params in multi-host runs; run evals offline from a
-        # checkpoint instead (eval.py) until a sharded eval path exists
-        logger.warning("eval_every_n_steps is single-process only; disabled")
-        eval_every = 0
     if eval_every:
         from adt_str_tpu.parallel.train_step import make_eval_step, make_synth_eval_step
 
@@ -259,12 +277,14 @@ def train(cfg: FrameworkConfig) -> TrainState:
             statics=synth_statics,
             max_batches=cfg.logging.eval_batches,
             eval_step=eval_step_fn,
+            mesh=mesh,
         )
         logger.info("eval @ step %d: eval_loss=%.4f", step_idx, e_loss)
         if wandb:
             wandb.log({"eval_loss": e_loss}, step=step_idx)
-        with open(output_dir / "eval_history.jsonl", "a") as f:
-            f.write(json.dumps({"step": step_idx, "eval_loss": e_loss}) + "\n")
+        if process_index == 0:  # single writer; the loss is replicated anyway
+            with open(output_dir / "eval_history.jsonl", "a") as f:
+                f.write(json.dumps({"step": step_idx, "eval_loss": e_loss}) + "\n")
 
     from adt_str_tpu.data.datasets import prefetch_batches
 

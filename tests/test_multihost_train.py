@@ -85,7 +85,9 @@ def test_two_process_cli_training(tmp_path):
                         "mixup_range": 0.5, "use_fx_prob": 0.0, "max_notes": 8,
                         "max_oneshot_sec": 0.1},
         "logging": {"output_dir": str(tmp_path / "out"), "logging_steps": 1,
-                    "save_every_n_steps": 2},
+                    "save_every_n_steps": 2,
+                    # sharded in-training eval across the 2-process cluster
+                    "eval_every_n_steps": 2, "eval_batches": 2},
         "checkpoint": {"max_checkpoints": 2, "auto_resume": False},
         "experiment": {"seed": 0, "run_name": "mh"},
     }
@@ -130,3 +132,6 @@ def test_two_process_cli_training(tmp_path):
     # single-writer checkpointing: process 0 saved, exactly once per cadence
     ckpts = sorted((tmp_path / "out" / "mh").glob("checkpoint-*"))
     assert ckpts, errs[0][-2000:]
+    # sharded in-training eval ran and logged (single writer)
+    hist = (tmp_path / "out" / "mh" / "eval_history.jsonl").read_text().splitlines()
+    assert len(hist) == 2, hist  # steps 2 and 4
