@@ -142,6 +142,18 @@ class TokenizerConfig:
     silence_token: int = 0
     add_velocity: bool = True
 
+    def __post_init__(self):
+        # The loss's ignore_index (model.py:237) and EOS/PAD decode truncation
+        # (eval.py:379-381) hardcode PAD=1 in the reference; the model side
+        # here mirrors that (models/adt.py:PAD_TOKEN). Reject configs that
+        # would silently diverge from it.
+        if self.pad_token != 1:
+            raise ValueError(
+                "pad_token must be 1: the loss ignore_index and decode "
+                "truncation are fixed to the reference vocab layout "
+                "(specials silence=0, PAD=1, BOS=2, EOS=3)"
+            )
+
 
 @dataclass(frozen=True)
 class ModelConfig(SharedConfig):
@@ -208,6 +220,12 @@ class TrainDataConfig(SharedConfig):
     shuffle_buffer: int = 8192
     prefetch: int = 2
     seed: int = 0
+    # Fraction of the dataset (the unshuffled prefix) excluded from training
+    # epochs and reserved for the in-training eval stream, so `eval_loss`
+    # measures generalization. Default 0.0 is reference parity: the reference
+    # ships no validation split at all (train.py:313 passes
+    # eval_dataset=None) and the monitored prefix is also trained on.
+    holdout_fraction: float = 0.0
 
 
 @dataclass(frozen=True)

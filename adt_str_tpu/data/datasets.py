@@ -209,6 +209,15 @@ def _epoch_batches(
 ) -> Iterator[dict[str, np.ndarray]]:
     order = np.arange(len(dataset))
     if shuffle:
+        # holdout_fraction > 0: the unshuffled dataset PREFIX is reserved for
+        # the in-training eval stream (evaluate_loss reads it with
+        # shuffle=False) and excluded from shuffled training epochs, so
+        # eval_loss measures generalization. 0.0 = reference behavior.
+        holdout = int(
+            len(dataset)
+            * getattr(getattr(dataset, "config", None), "holdout_fraction", 0.0)
+        )
+        order = order[holdout:]
         rng.shuffle(order)
     # fixed per-example seeds: resuming (skip>0) or host sharding never
     # misaligns the augmentation stream
@@ -226,7 +235,11 @@ def _epoch_batches(
         ]
         # trims only in single-process runs: per-host batch shapes must agree
         # across processes or the sharded step's collectives deadlock
-        yield collate(examples, trim=process_count == 1)
+        yield collate(
+            examples,
+            trim=process_count == 1,
+            pad_token=getattr(getattr(dataset, "tokenizer", None), "pad_token", 1),
+        )
 
 
 NOTE_BUCKET = 16
@@ -277,7 +290,7 @@ def trim_token_bucket(
 
 
 def collate(
-    examples: list[dict[str, np.ndarray]], trim: bool = True
+    examples: list[dict[str, np.ndarray]], trim: bool = True, pad_token: int = 1
 ) -> dict[str, np.ndarray]:
     """Stack static-shape examples; apply the reference collate length quirk
     (lengths equal to the batch max decremented by one,
@@ -293,7 +306,7 @@ def collate(
     lengths = batch["token_lengths"].astype(np.int64)
     batch["token_lengths"] = lengths - (lengths == lengths.max()).astype(np.int64)
     if trim:
-        batch = trim_token_bucket(trim_note_bucket(batch))
+        batch = trim_token_bucket(trim_note_bucket(batch), pad_token=pad_token)
     return batch
 
 

@@ -121,9 +121,10 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(orig)
 
 
-# Counter-based dropout-mask hash (murmur3-style finalizer, one round short).
+# Counter-based dropout-mask hash (full murmur3 finalizer, two-word seed).
 _HASH_GOLDEN = np.uint32(0x9E3779B9)
 _HASH_M1 = np.uint32(0x85EBCA6B)
+_HASH_M2 = np.uint32(0xC2B2AE35)
 
 
 def _hash_mask(shape, seed: jnp.ndarray, keep: float) -> jnp.ndarray:
@@ -134,23 +135,32 @@ def _hash_mask(shape, seed: jnp.ndarray, keep: float) -> jnp.ndarray:
     tensor (measured 8.7 ms of the 74.9 ms flagship model step). This hash is
     plain iota + integer elementwise ops, so XLA fuses mask generation into
     the surrounding elementwise/matmul-epilogue fusions and the mask never
-    touches HBM (74.9 -> 70.2 ms). Mixing is idx*golden + seed followed by a
-    xorshift-multiply-xorshift finalizer — ample diffusion for a Bernoulli
-    threshold test (validated by the distribution tests)."""
+    touches HBM (74.9 -> 70.2 ms).
+
+    `seed` is BOTH 32-bit words of the PRNG key (shape (2,)): the mask is a
+    function of the full 64-bit key, so bitwise mask reuse across layers/steps
+    needs a 64-bit collision — a 32-bit seed alone would birthday-collide
+    within ~1e6 draws of a long run (advisor finding, round 2). Mixing is the
+    full murmur3 fmix (xorshift-multiply x2) with the second word injected
+    mid-pipeline; all ops are elementwise integer and fuse."""
     n = 1
     for d in shape:
         n *= int(d)
     idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
-    h = idx * _HASH_GOLDEN + seed
+    h = idx * _HASH_GOLDEN + seed[0]
     h = h ^ (h >> 16)
     h = h * _HASH_M1
-    h = h ^ (h >> 15)
+    h = h ^ seed[1]
+    h = h ^ (h >> 13)
+    h = h * _HASH_M2
+    h = h ^ (h >> 16)
     return h < jnp.uint32(min(int(keep * 2**32), 2**32 - 1))
 
 
 def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """Both words of the key, first pre-scrambled (shape (2,) uint32)."""
     d = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    return d[0] * _HASH_GOLDEN + d[-1]
+    return jnp.stack([d[0] * _HASH_GOLDEN, d[-1]])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))

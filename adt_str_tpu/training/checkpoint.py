@@ -56,20 +56,35 @@ def save_checkpoint(
     # tests/test_multihost_train.py). The host-side extras (meta.json,
     # safetensors export, GC) are single-writer.
     ckptr = ocp.StandardCheckpointer()
-    state = {
-        "params": jax.tree.map(np.asarray, params),
-        "opt_state": jax.tree.map(np.asarray, opt_state),
-    }
+    # jax.Arrays go to orbax as-is: it writes sharded global arrays natively,
+    # so multi-host tensor-parallel params (each process holding only its
+    # shards) save correctly. A host-side np.asarray here would raise on any
+    # non-fully-addressable array and crash training at the first periodic
+    # save (advisor finding, round 2).
+    state = {"params": params, "opt_state": opt_state}
     ckptr.save((path / "state").absolute(), state)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
         with open(path / "meta.json", "w") as f:
             json.dump({"step": int(step), "epoch": int(epoch)}, f)
-        if export_safetensors_file:
+        if export_safetensors_file and _host_readable(params):
             export_safetensors(params, path / "model.safetensors")
         if max_checkpoints:
             gc_checkpoints(output_dir, max_checkpoints)
     return str(path)
+
+
+def _host_readable(tree: Any) -> bool:
+    """True when every array leaf can be materialized on this host (needed by
+    the safetensors export, which is a plain numpy write). Fully-replicated
+    jax.Arrays and single-process arrays qualify; multi-host model-sharded
+    params do not — the orbax state remains the authoritative checkpoint and
+    the export is skipped for them."""
+    ok = True
+    for leaf in jax.tree.leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            ok = ok and leaf.is_fully_replicated
+    return ok
 
 
 def gc_checkpoints(output_dir: str | Path, keep: int) -> None:
@@ -96,9 +111,21 @@ def restore_checkpoint(path: str | Path, abstract_state: Any) -> tuple[Any, Any,
     pytree of arrays (e.g. freshly initialized) used as the restore template."""
     path = Path(path)
     ckptr = ocp.StandardCheckpointer()
+
+    def _abstract(x):
+        # Non-addressable leaves (multi-host sharded/replicated params)
+        # restore straight onto their current sharding — a host-side
+        # np.asarray would raise. Fully-addressable leaves restore as plain
+        # numpy so they stay UNCOMMITTED: carrying a SingleDeviceSharding
+        # here would pin e.g. optax counts to device 0 and clash with
+        # mesh-sharded params inside the jitted step.
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return np.asarray(x)
+
     template = {
-        "params": jax.tree.map(np.asarray, abstract_state["params"]),
-        "opt_state": jax.tree.map(np.asarray, abstract_state["opt_state"]),
+        "params": jax.tree.map(_abstract, abstract_state["params"]),
+        "opt_state": jax.tree.map(_abstract, abstract_state["opt_state"]),
     }
     state = ckptr.restore((path / "state").absolute(), template)
     with open(path / "meta.json") as f:

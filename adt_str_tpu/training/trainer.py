@@ -205,7 +205,11 @@ def train(cfg: FrameworkConfig) -> TrainState:
     # the global batch is process_count x this (each host strides the epoch
     # by process_index, _epoch_batches)
     global_batch = cfg.training.batch_size * max(1, n_local // n_model)
-    steps_per_epoch = max(1, len(dataset) // (global_batch * process_count))
+    # holdout_fraction reserves the dataset prefix for in-training eval;
+    # those rows never enter shuffled training epochs (datasets._epoch_batches)
+    holdout_rows = int(len(dataset) * data_cfg.holdout_fraction)
+    n_train_rows = len(dataset) - holdout_rows
+    steps_per_epoch = max(1, n_train_rows // (global_batch * process_count))
     total_steps = int(steps_per_epoch * float(cfg.training.num_epochs))
     if cfg.training.max_steps:
         total_steps = min(total_steps, cfg.training.max_steps)
@@ -268,6 +272,14 @@ def train(cfg: FrameworkConfig) -> TrainState:
     def _run_eval(step_idx: int) -> None:
         import json
 
+        # with a holdout, the eval stream must stay inside the held-out
+        # prefix (its rows are excluded from training epochs)
+        eval_cap = cfg.logging.eval_batches
+        if holdout_rows:
+            prefix_batches = max(
+                1, holdout_rows // (global_batch * process_count)
+            )
+            eval_cap = min(eval_cap or prefix_batches, prefix_batches)
         e_loss = evaluate_loss(
             state.params,
             model_cfg,
@@ -275,7 +287,7 @@ def train(cfg: FrameworkConfig) -> TrainState:
             batch_size=global_batch,
             synth_config=cfg.synthetiser if data_cfg.dataset_name == "Lakh" else None,
             statics=synth_statics,
-            max_batches=cfg.logging.eval_batches,
+            max_batches=eval_cap,
             eval_step=eval_step_fn,
             mesh=mesh,
         )
@@ -328,11 +340,18 @@ def train(cfg: FrameworkConfig) -> TrainState:
             ),
             depth=max(1, data_cfg.prefetch),
         )
+        # every host runs exactly the analytic steps_per_epoch batches per
+        # epoch: when len(dataset) is not divisible by process_count the
+        # per-host striding yields hosts one-off batch counts, and without
+        # this truncation hosts' epoch boundaries drift (a global batch would
+        # silently mix epochs, and resume's skip arithmetic would be wrong)
+        epoch_budget = steps_per_epoch - skip
         skip = 0
         for batch in batches:
-            if step_idx >= total_steps:
-                done = True
+            if step_idx >= total_steps or epoch_budget <= 0:
+                done = step_idx >= total_steps
                 break
+            epoch_budget -= 1
             device_batch = dict(batch)
             if data_cfg.dataset_name != "Lakh":
                 device_batch.pop("notes", None)

@@ -97,14 +97,19 @@ def test_run_inference_sharded_matches_single_device(tmp_path):
         EvalDataConfig(dataset_path=parquet, dataset_name="ENST", sample_rate=SR),
         tok,
     )
-    icfg = InferenceConfig(batch_size=3, max_length=12, use_beam_search=False)
+    # output_path=None: the config default is "results/" (reference parity),
+    # which would litter the repo root when tests run from it
+    icfg = InferenceConfig(
+        batch_size=3, max_length=12, use_beam_search=False, output_path=None
+    )
     single = run_inference(params, mcfg, ds, tok, icfg)
     mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
     sharded = run_inference(params, mcfg, ds, tok, icfg, mesh=mesh)
     assert single == sharded
 
     bcfg = InferenceConfig(
-        batch_size=3, max_length=10, use_beam_search=True, beam_size=2
+        batch_size=3, max_length=10, use_beam_search=True, beam_size=2,
+        output_path=None,
     )
     b_single = run_inference(params, mcfg, ds, tok, bcfg)
     b_sharded = run_inference(params, mcfg, ds, tok, bcfg, mesh=mesh)
