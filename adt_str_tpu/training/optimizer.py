@@ -31,14 +31,23 @@ def warmup_cosine_schedule(
     warmup_ratio: float = 0.1,
     min_lr: Optional[float] = None,
 ) -> optax.Schedule:
-    warmup_steps = int(total_steps * warmup_ratio)
+    # HF TrainingArguments.get_warmup_steps rounds UP (math.ceil) — int()
+    # truncation here was a one-step schedule divergence vs the reference
+    warmup_steps = math.ceil(total_steps * warmup_ratio)
     floor = float(min_lr) if (min_lr is not None and min_lr > 0) else 0.0
+    if floor > 0.0:
+        # reference custom `cosine_warmup_with_min_lr` (train.py:202-216):
+        # the LAST training step (0-based total_steps-1) lands exactly on the
+        # min-LR floor, unlike HF's cosine_with_min_lr
+        denom = max(total_steps - 1 - warmup_steps, 1)
+    else:
+        # HF `get_cosine_schedule_with_warmup` exactly: progress hits 1.0 at
+        # step == total_steps
+        denom = max(total_steps - warmup_steps, 1)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = base_lr * step / jnp.maximum(warmup_steps, 1)
-        # progress hits 1.0 exactly at the final step => LR == floor there
-        denom = jnp.maximum(total_steps - 1 - warmup_steps, 1)
         progress = jnp.clip((step - warmup_steps) / denom, 0.0, 1.0)
         cosine = floor + (base_lr - floor) * 0.5 * (1.0 + jnp.cos(math.pi * progress))
         return jnp.where(step < warmup_steps, warm, cosine)
@@ -53,7 +62,8 @@ def make_schedule(config: TrainingConfig, total_steps: int) -> optax.Schedule:
     (decay to 0 at total_steps), `constant_with_warmup`, `constant`."""
     t = (config.lr_scheduler_type or "cosine").lower()
     base_lr = float(config.learning_rate)
-    warmup_steps = int(total_steps * config.warmup_ratio)
+    # HF get_warmup_steps semantics: math.ceil, not truncation
+    warmup_steps = math.ceil(total_steps * config.warmup_ratio)
     if t in ("cosine", "cosine_warmup_with_min_lr", "cosine_with_min_lr"):
         return warmup_cosine_schedule(
             base_lr=base_lr,
