@@ -33,6 +33,9 @@ def load_params(checkpoint_path: str):
 
 def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
     setup_logging(cfg.logging.log_level)
+    from adt_str_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.maybe_initialize_distributed()
     checkpoint_path = cfg.inference.checkpoint_path
     if not checkpoint_path:
         raise ValueError("inference.checkpoint_path is required")
@@ -51,7 +54,8 @@ def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
     logger.info("Dataset size: %d", len(dataset))
 
     # data-parallel decode over all available devices (the reference
-    # evaluates on one device, eval.py:452)
+    # evaluates on one device, eval.py:452); multi-host runs stride each
+    # global batch's rows across processes (harness.run_inference)
     import jax
 
     from adt_str_tpu.parallel import mesh as mesh_lib
@@ -59,7 +63,10 @@ def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
     mesh = None
     if len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
-        logger.info("sharding eval decode over %d devices", len(jax.devices()))
+        logger.info(
+            "sharding eval decode over %d devices (%d processes)",
+            len(jax.devices()), jax.process_count(),
+        )
 
     metrics = run_inference(
         params,
