@@ -69,11 +69,15 @@ def encode_files(
 ) -> np.ndarray:
     """Batched CLAP embedding of audio files -> (N, 512).
 
-    Host WAV decode+resample runs on a thread pool and is pipelined ahead of
-    the device encode (the next batches decode while the current one runs on
-    the TPU), replacing the reference's serial per-file loop
-    (`augment_data_with_CLAP.py:124-137`) — at curation scale the host decode
-    would otherwise starve the device (see tools/bench_curation.py).
+    Replaces the reference's serial per-file loop
+    (`augment_data_with_CLAP.py:124-137`). With more than one host core
+    (`num_workers` defaults to min(16, cpu_count)), WAV decode+resample runs
+    on a thread pool pipelined ahead of the device encode so the next batches
+    decode while the current one runs on the TPU. On a single-core host the
+    pool buys nothing and costs scheduler overhead (measured ~2.5x slower at
+    workers=1, tools/curation_bench.json round 2), so `num_workers <= 1`
+    degrades to the plain serial loop — which is also what the default
+    resolves to there.
     """
     import os
     from collections import deque

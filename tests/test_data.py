@@ -313,3 +313,53 @@ def test_process_sharding_disjoint_complete_coverage():
         assert sorted(idxs) == list(range(24)), f"pc={pc} not a partition"
         for i, s in seen:
             assert s == seed_of[i], f"pc={pc} changed augmentation seed of {i}"
+
+
+def test_holdout_fraction_excludes_eval_prefix_from_training():
+    """holdout_fraction (VERDICT r2 weak #4): the unshuffled dataset prefix is
+    reserved for the in-training eval stream and must never appear in shuffled
+    training epochs; the eval path (shuffle=False) still reads exactly that
+    prefix. Default 0.0 keeps reference behavior (no validation split,
+    train.py:313)."""
+    from types import SimpleNamespace
+
+    from adt_str_tpu.data.datasets import _epoch_batches
+
+    class Stub:
+        config = SimpleNamespace(holdout_fraction=0.25)
+
+        def __len__(self):
+            return 32
+
+        def example(self, i, rng):
+            return {"tokens": np.array([i]), "token_lengths": np.int64(1)}
+
+    ds = Stub()
+    rng = np.random.default_rng(0)
+    train_idx = [
+        int(i)
+        for batch in _epoch_batches(ds, 4, rng, True, True, 0, 0, 1)
+        for i in batch["tokens"][:, 0]
+    ]
+    holdout = set(range(8))  # 0.25 * 32
+    assert not holdout & set(train_idx), "holdout rows leaked into training"
+    assert sorted(train_idx) == list(range(8, 32))
+
+    # the eval stream (shuffle=False) reads the held-out prefix
+    eval_idx = [
+        int(i)
+        for batch in _epoch_batches(
+            ds, 4, np.random.default_rng(0), False, True, 0, 0, 1
+        )
+        for i in batch["tokens"][:, 0]
+    ][:8]
+    assert eval_idx == list(range(8))
+
+    # default 0.0: every row trains (reference parity)
+    ds.config = SimpleNamespace(holdout_fraction=0.0)
+    all_idx = [
+        int(i)
+        for batch in _epoch_batches(ds, 4, np.random.default_rng(0), True, True, 0, 0, 1)
+        for i in batch["tokens"][:, 0]
+    ]
+    assert sorted(all_idx) == list(range(32))
