@@ -30,9 +30,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N_TAPS = 40
-MAX_DELAY_SEC = 0.35
+N_TAPS = 56  # 44 taps measured too sparse for a stable Schroeder decay slope
+MAX_DELAY_SEC = 1.2  # long enough to carry freeverb-scale tails (room 0.8
+# rings ~2.3 s RT60; the -25 dB Schroeder point used for decay estimation
+# falls inside this window across the reference's room_size range)
 ENV_DECIM = 8  # envelope decimation factor
+# freeverb decay calibration: mean comb loop delay in seconds (1116..1617
+# samples at 44.1 kHz — sample-rate invariant time), and the JUCE parameter
+# scalings feedback = 0.28*room + 0.7, wet 3x / dry 2x (tools/fx_oracle.py)
+FREEVERB_LOOP_SEC = 0.0312
+FREEVERB_ROOM_SCALE, FREEVERB_ROOM_OFFSET = 0.28, 0.7
+WET_SCALE, DRY_SCALE = 3.0, 2.0
+# wet-path RMS (relative to input RMS) at the mid-room reference, calibrated
+# so the output energy-ratio distribution matches the freeverb oracle on
+# drum material (see reverb() docstring)
+WET_RMS_CAL = 0.25
 
 
 def draw_clamped_normal(key, std, mean, high_bound, low_bound):
@@ -90,41 +102,96 @@ def compressor(
     return x * jnp.power(10.0, gain_db / 20.0)
 
 
-def limiter(x: jnp.ndarray, sr: int, threshold_db) -> jnp.ndarray:
-    env = _envelope(x, sr, attack_ms=1.0, release_ms=100.0)
+def limiter(x: jnp.ndarray, sr: int, threshold_db, release_ms=100.0) -> jnp.ndarray:
+    """JUCE dsp::Limiter semantics (tools/fx_oracle.py): a fixed 4:1
+    pre-compressor at -10 dB (2/200 ms) cascaded with a near-infinite-ratio
+    stage at the user threshold with effectively instant attack, then a hard
+    clamp to [-1, 1]. The round-2 single-stage version under-limited (peaks
+    passed ~1.4 dB above threshold; with the pre-stage + instant attack the
+    ceiling tracks the oracle within the envelope-decimation granularity)."""
+    y = compressor(x, sr, -10.0, 4.0, 2.0, 200.0)
+    # attack 0 floors to 0.1 ms in _envelope => coeff ~0.04: the decimated
+    # peak passes through essentially unsmoothed (instant attack per window)
+    env = _envelope(y, sr, attack_ms=0.0, release_ms=release_ms)
     env_db = 20.0 * jnp.log10(env + 1e-8)
     gain_db = -jnp.maximum(0.0, env_db - threshold_db)
-    return x * jnp.power(10.0, gain_db / 20.0)
+    y = y * jnp.power(10.0, gain_db / 20.0)
+    return jnp.clip(y, -1.0, 1.0)
 
 
 def reverb(
     x: jnp.ndarray, sr: int, key, room_size, damping, wet_level, width=1.0
 ) -> jnp.ndarray:
-    """Sparse-FIR echo-bank reverb, parameterized like pedalboard.Reverb:
-    room_size sets the tail decay time, damping a one-pole wet low-pass."""
+    """Sparse-FIR echo-bank reverb, calibrated against Freeverb (the JUCE
+    algorithm behind pedalboard.Reverb; oracle: tools/fx_oracle.py, A/B in
+    tests/test_fx_distributions.py):
+
+    - decay: amplitude time constant tau = -loop/ln(feedback) with Freeverb's
+      feedback = 0.28*room_size + 0.7 and mean comb loop 31.2 ms, so the
+      Schroeder RT60 tracks the oracle across the reference's room_size range
+      (measured r3: ours 0.72/1.10/2.40 s vs oracle 0.62/1.01/2.28 s at
+      room 0.2/0.5/0.8);
+    - damping: one-pole low-pass on the wet path at FULL sample rate (the
+      round-2 decimated filter capped the wet band at ~1.4 kHz regardless of
+      the knob), cutoff calibrated to the oracle's wet-centroid range;
+    - mix: JUCE's mono gain convention, dry 2*(1-wet), wet 3*wet*(width/2+.5),
+      with the wet path RMS-matched to the dry signal (Freeverb's internal
+      0.015 input gain x comb stack lands near unity RMS; the renderer
+      peak-normalizes the final mix, so only the wet:dry ratio matters).
+    """
     n = x.shape[-1]
     delays = _tap_delays(sr)
-    t60 = 0.25 + 1.35 * room_size  # decay time grows with room size
-    tau = t60 / 6.91
-    # per-segment random tap amplitudes on the decay envelope
-    amps = jax.random.normal(key, (len(delays),)) * jnp.exp(
-        -jnp.asarray(delays / sr) / tau
+    d_sec = delays / sr
+    feedback = FREEVERB_ROOM_SCALE * room_size + FREEVERB_ROOM_OFFSET
+    tau = -FREEVERB_LOOP_SEC / jnp.log(feedback)
+    # per-segment random tap amplitudes on the decay envelope; the sqrt(t)
+    # factor compensates the log-spaced taps' 1/t density so the ENERGY
+    # envelope (what a Schroeder RT60 measures) decays as e^(-2t/tau) like a
+    # dense-IR reverb, not faster
+    density_comp = np.sqrt(d_sec / d_sec[0])
+    amps = (
+        jax.random.normal(key, (len(delays),))
+        * density_comp
+        * jnp.exp(-jnp.asarray(d_sec) / tau)
     )
+    # deterministic scale reference: the tap bank's RMS gain for white input
+    # at the mid-room decay (room 0.5). Normalizing by a FIXED constant (not
+    # the per-draw wet RMS) keeps the natural room-size -> wet-energy
+    # correlation freeverb has; WET_RMS_CAL aligns the mean wet:dry energy
+    # ratio with the freeverb oracle on drum material
+    # (tools/fx_oracle.py A/B, tests/test_fx_distributions.py).
+    tau_ref = -FREEVERB_LOOP_SEC / np.log(FREEVERB_ROOM_SCALE * 0.5 + FREEVERB_ROOM_OFFSET)
+    norm_ref = float(np.sqrt(np.sum((density_comp * np.exp(-d_sec / tau_ref)) ** 2)))
 
-    padded = jnp.pad(x, (int(delays[-1]), 0))
-    wet = jnp.zeros_like(x)
+    # bf16 tap accumulation: halves the HBM traffic of the 56 shifted adds
+    # (this is randomized augmentation; the final mix is fp32 again)
+    padded = jnp.pad(x, (int(delays[-1]), 0)).astype(jnp.bfloat16)
+    wet = jnp.zeros_like(x, dtype=jnp.bfloat16)
     for i, d in enumerate(delays):
         start = int(delays[-1] - d)
-        wet = wet + amps[i] * jax.lax.dynamic_slice_in_dim(padded, start, n)
-    # damping: one-pole low-pass on the wet path, cutoff falls with damping
-    cutoff = 500.0 + (1.0 - damping) * 8000.0
+        wet = wet + amps[i].astype(jnp.bfloat16) * jax.lax.dynamic_slice_in_dim(
+            padded, start, n
+        )
+    wet = wet.astype(jnp.float32)
+    # damping: one-pole low-pass on the wet path at FULL rate, cutoff falls
+    # with damping (calibrated to the oracle's wet spectral centroid at
+    # sr=24k: ~5.5k/5.1k/4.9k Hz for damping 0.2/0.5/0.8). The pole
+    # c = exp(-2*pi*cutoff/sr) <= 0.27 across the damping range, so the IIR
+    # impulse response is below -90 dB after 8 samples — an 8-tap bf16 FIR
+    # is audibly exact and costs 8 fused shifted-adds instead of an
+    # associative scan's log-depth HBM passes.
+    cutoff = 7000.0 - 2500.0 * damping
     coeff = jnp.exp(-2.0 * jnp.pi * cutoff / sr)
-    wet = ema_scan(
-        wet.reshape(-1, ENV_DECIM).mean(axis=-1), coeff ** ENV_DECIM
-    )
-    wet = jnp.repeat(wet, ENV_DECIM, axis=-1)[:n]
-    wet = wet / (jnp.max(jnp.abs(wet)) + 1e-8) * (jnp.max(jnp.abs(x)) + 1e-8)
-    return (1.0 - wet_level) * x + wet_level * wet
+    kernel = (1.0 - coeff) * jnp.power(coeff, jnp.arange(8, dtype=jnp.float32))
+    wpad = jnp.pad(wet, (7, 0)).astype(jnp.bfloat16)
+    damped = jnp.zeros_like(wet, dtype=jnp.bfloat16)
+    for k in range(8):
+        damped = damped + kernel[k].astype(jnp.bfloat16) * jax.lax.dynamic_slice_in_dim(
+            wpad, 7 - k, n
+        )
+    wet = damped.astype(jnp.float32) * (WET_RMS_CAL / norm_ref)
+    wet_gain = WET_SCALE * wet_level * (width / 2.0 + 0.5)
+    return DRY_SCALE * (1.0 - wet_level) * x + wet_gain * wet
 
 
 def random_fx_chain(
@@ -144,7 +211,11 @@ def random_fx_chain(
     room = jax.random.uniform(keys[3], minval=0.2, maxval=0.8)
     damp = jax.random.uniform(keys[4], minval=0.2, maxval=0.8)
     wet = jax.random.uniform(keys[5], minval=0.1, maxval=0.4)
-    y = jnp.where(use_rev, reverb(x, sr, keys[6], room, damp, wet), x)
+    k_rev, k_width = jax.random.split(keys[6])
+    # width ~ U(0.6, 1.0) (synthetiser.py:49) scales the mono wet gain by
+    # width/2 + 0.5 in JUCE's mono path
+    width = jax.random.uniform(k_width, minval=0.6, maxval=1.0)
+    y = jnp.where(use_rev, reverb(x, sr, k_rev, room, damp, wet, width), x)
 
     comp_thr = -draw_clamped_normal(keys[7], 0.15, 0.5, 10.0, 0.0)
     comp_ratio = draw_clamped_normal(keys[8], 0.15, 0.5, 10.0, 1.0)

@@ -1,0 +1,150 @@
+"""A/B the TPU-native FX chain against JUCE-faithful oracles (VERDICT r2 #4).
+
+Oracle: tools/fx_oracle.py — numpy Freeverb (the exact JUCE Reverb /
+pedalboard algorithm: 8 damped combs + 4 allpasses, JUCE parameter scalings)
+and JUCE-style ballistics compressor/limiter. Reference FX construction being
+matched distributionally: /root/reference/modules/synthetiser.py:30-137
+(inclusion probabilities + parameter ranges; bit-parity with JUCE is a non-
+goal — the FX are randomized augmentation, SURVEY.md §7).
+
+Tolerances are set from measured round-3 A/B deltas (~1.5-2x margin):
+  RT60 ours/oracle = 0.72/0.78/0.88 at room 0.2/0.5/0.8
+  wet centroid |delta| <= 250 Hz across damping 0.2..0.8
+  drum-signal energy ratio mean 1.475 vs 1.493 (std 0.159 vs 0.149)
+  compressor gain reduction within 0.55 dB at every level
+  limiter ceiling -6.41 vs -7.29 dB at threshold -3
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+import fx_oracle as orc  # noqa: E402
+
+from adt_str_tpu.synth import fx  # noqa: E402
+
+SR = 24000
+N = int(2.56 * SR)
+
+
+def _drum_signal() -> np.ndarray:
+    rng = np.random.default_rng(0)
+    sig = np.zeros(N, np.float32)
+    for t0 in (0.1, 0.5, 0.9, 1.4, 1.9):
+        i = int(t0 * SR)
+        L = 4000
+        sig[i : i + L] += (
+            np.exp(-np.arange(L) / 800) * rng.normal(size=L) * 0.4
+        ).astype(np.float32)
+    return np.clip(sig, -1, 1)
+
+
+@pytest.mark.slow
+def test_reverb_rt60_tracks_freeverb():
+    imp = np.zeros(N, np.float32)
+    imp[100] = 1.0
+    ours_rts, orc_rts = [], []
+    for room in (0.2, 0.5, 0.8):
+        ir_o = orc.freeverb(imp, SR, room, 0.5, 1.0, dry_level=0.0)
+        orc_rts.append(orc.rt60_from_ir(ir_o, SR))
+        ir_u = np.asarray(
+            fx.reverb(jnp.asarray(imp), SR, jax.random.PRNGKey(1), room, 0.5, 1.0)
+        )
+        ours_rts.append(orc.rt60_from_ir(ir_u, SR))
+    # decay time grows with room size in both implementations ...
+    assert ours_rts[0] < ours_rts[1] < ours_rts[2], ours_rts
+    assert orc_rts[0] < orc_rts[1] < orc_rts[2], orc_rts
+    # ... and ours tracks the freeverb absolute scale (measured 0.72-0.88x)
+    for u, o in zip(ours_rts, orc_rts):
+        assert 0.5 <= u / o <= 1.3, (ours_rts, orc_rts)
+
+
+@pytest.mark.slow
+def test_reverb_damping_centroid_tracks_freeverb():
+    imp = np.zeros(N, np.float32)
+    imp[100] = 1.0
+    ours_c, orc_c = [], []
+    for damp in (0.2, 0.8):
+        ir_o = orc.freeverb(imp, SR, 0.5, damp, 1.0, dry_level=0.0)
+        orc_c.append(orc.spectral_centroid(ir_o[100:], SR))
+        ir_u = np.asarray(
+            fx.reverb(jnp.asarray(imp), SR, jax.random.PRNGKey(1), 0.5, damp, 1.0)
+        )
+        ours_c.append(orc.spectral_centroid(ir_u[100:], SR))
+    assert ours_c[1] < ours_c[0], ours_c  # more damping => darker wet
+    for u, o in zip(ours_c, orc_c):
+        assert abs(u - o) < 600.0, (ours_c, orc_c)  # measured <= 250 Hz
+
+
+@pytest.mark.slow
+def test_reverb_energy_ratio_distribution_matches_freeverb():
+    """Output/input RMS ratio over random draws of (room, damping, wet, width)
+    across the reference's BoardChain ranges (synthetiser.py:45-49) — mean
+    AND spread must match (the fixed-reference wet normalization keeps the
+    natural room->wet-energy correlation; measured 1.475+-0.159 vs oracle
+    1.493+-0.149)."""
+    sig = _drum_signal()
+    rms_in = float(np.sqrt((sig**2).mean()))
+    ro, ru = [], []
+    for s in range(10):
+        r = np.random.default_rng(s)
+        room = r.uniform(0.2, 0.8)
+        damp = r.uniform(0.2, 0.8)
+        wet = r.uniform(0.1, 0.4)
+        width = r.uniform(0.6, 1.0)
+        yo = orc.freeverb(sig, SR, room, damp, wet, width=width)
+        yu = np.asarray(
+            fx.reverb(jnp.asarray(sig), SR, jax.random.PRNGKey(s), room, damp, wet, width)
+        )
+        ro.append(float(np.sqrt((yo**2).mean())) / rms_in)
+        ru.append(float(np.sqrt((yu**2).mean())) / rms_in)
+    assert abs(np.mean(ru) - np.mean(ro)) < 0.2, (np.mean(ru), np.mean(ro))
+    assert 0.4 <= np.std(ru) / (np.std(ro) + 1e-9) <= 2.5, (np.std(ru), np.std(ro))
+
+
+@pytest.mark.slow
+def test_compressor_static_curve_matches_juce():
+    t = np.arange(N) / SR
+    for amp_db, max_delta in ((-12, 0.25), (-3, 1.0), (0, 1.0)):
+        x = (10 ** (amp_db / 20) * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        yo = orc.juce_compressor(x, SR, -6.0, 4.0, 10.0, 200.0)
+        yu = np.asarray(
+            fx.compressor(jnp.asarray(x), SR, -6.0, 4.0, 10.0, 200.0)
+        )
+        go = orc.gain_reduction_db(x, yo)
+        gu = orc.gain_reduction_db(x, yu)
+        # below threshold both are unity; above, within 1 dB (measured 0.55)
+        assert abs(gu - go) <= max_delta, (amp_db, gu, go)
+    # slope above threshold ~ (1/ratio - 1): between -6 and 0 dB input the
+    # extra 6 dB must be reduced by ~4.5 dB in both
+    x0 = (np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    x6 = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    for f in (
+        lambda v: np.asarray(fx.compressor(jnp.asarray(v), SR, -6.0, 4.0, 10.0, 200.0)),
+        lambda v: orc.juce_compressor(v, SR, -6.0, 4.0, 10.0, 200.0),
+    ):
+        drop = orc.gain_reduction_db(x6, f(x6)) - orc.gain_reduction_db(x0, f(x0))
+        assert 2.5 <= drop <= 5.5, drop
+
+
+@pytest.mark.slow
+def test_limiter_ceiling_matches_juce():
+    t = np.arange(N) / SR
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    h = N // 2
+    yo = orc.juce_limiter(x, SR, -3.0)
+    yu = np.asarray(fx.limiter(jnp.asarray(x), SR, -3.0))
+    peak_o = 20 * np.log10(np.abs(yo[h:]).max())
+    peak_u = 20 * np.log10(np.abs(yu[h:]).max())
+    # steady state: both land at or below the threshold (JUCE's fixed 4:1
+    # pre-stage pushes further below; measured -6.41 vs -7.29 dB)
+    assert peak_u <= -3.0 + 0.5, peak_u
+    assert abs(peak_u - peak_o) <= 2.0, (peak_u, peak_o)
+    # hard clamp contract
+    assert np.abs(yu).max() <= 1.0 + 1e-6
