@@ -137,12 +137,14 @@ def _hash_mask(shape, seed: jnp.ndarray, keep: float) -> jnp.ndarray:
     the surrounding elementwise/matmul-epilogue fusions and the mask never
     touches HBM (74.9 -> 70.2 ms).
 
-    `seed` is BOTH 32-bit words of the PRNG key (shape (2,)): the mask is a
-    function of the full 64-bit key, so bitwise mask reuse across layers/steps
-    needs a 64-bit collision — a 32-bit seed alone would birthday-collide
-    within ~1e6 draws of a long run (advisor finding, round 2). Mixing is the
-    full murmur3 fmix (xorshift-multiply x2) with the second word injected
-    mid-pipeline; all ops are elementwise integer and fuse."""
+    `seed` is BOTH 32-bit words of the PRNG key (shape (2,), each already
+    scalar-scrambled by `_seed_from_key`): the mask is a function of the full
+    64-bit key, so bitwise mask reuse across layers/steps needs a 64-bit
+    collision — a 32-bit seed alone would birthday-collide within ~1e6 draws
+    of a long run (advisor finding, round 2). The per-element pipeline stays
+    at 6 integer ops (the hash runs over the largest tensors in the model —
+    every extra op here is measurable VPU time); the expensive murmur3 fmix
+    runs on the two SCALAR words instead, where it is free."""
     n = 1
     for d in shape:
         n *= int(d)
@@ -151,16 +153,24 @@ def _hash_mask(shape, seed: jnp.ndarray, keep: float) -> jnp.ndarray:
     h = h ^ (h >> 16)
     h = h * _HASH_M1
     h = h ^ seed[1]
-    h = h ^ (h >> 13)
-    h = h * _HASH_M2
-    h = h ^ (h >> 16)
+    h = h ^ (h >> 15)
     return h < jnp.uint32(min(int(keep * 2**32), 2**32 - 1))
 
 
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 scalar finalizer (full diffusion; runs on scalars only)."""
+    h = h ^ (h >> 16)
+    h = h * _HASH_M1
+    h = h ^ (h >> 13)
+    h = h * _HASH_M2
+    h = h ^ (h >> 16)
+    return h
+
+
 def _seed_from_key(key: jax.Array) -> jnp.ndarray:
-    """Both words of the key, first pre-scrambled (shape (2,) uint32)."""
+    """Both words of the key, each fully scrambled (shape (2,) uint32)."""
     d = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    return jnp.stack([d[0] * _HASH_GOLDEN, d[-1]])
+    return jnp.stack([_fmix32(d[0] * _HASH_GOLDEN), _fmix32(d[-1] + _HASH_GOLDEN)])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))

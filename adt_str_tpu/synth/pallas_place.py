@@ -41,21 +41,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
+    slot_ref,  # (B, MAX_NOTES) i32 flat blend-row ids (b*N_SLOTS + slot)
     q_ref,  # (B, MAX_NOTES) i32 row offsets (onset // 128)
     r_ref,  # (B, MAX_NOTES) i32 lane shifts (onset % 128)
     gain_ref,  # (B, MAX_NOTES) f32 SMEM
-    bnotes_ref,  # (1, NOTE_TILE, R, 128) f32 VMEM — this tile's blend rows
-    out_ref,  # (1, PR, 128) f32 VMEM, revisited across note tiles
-    *,
+    *refs,  # note_tile x (1, R, 128) VMEM blend blocks, then out_ref
     note_tile: int,
     rows: int,
 ):
-    # All VMEM *reads* are static: per-note blend rows are pre-gathered in XLA
-    # (leading-axis row gather = clean DMA) and streamed tile-by-tile through
-    # the grid. Dynamic-offset VMEM reads measured ~2 ms/note in Mosaic; the
+    # All VMEM *reads* are static: each note's blend row arrives as its own
+    # gathered input block (index_map reads the slot id from scalar-prefetch
+    # SMEM — the same pattern as `gather_blend`; the round-2 one-hot-matmul
+    # pre-gather materialized a (B, MAX_NOTES, R, 128) stream through HBM).
+    # Dynamic-offset VMEM reads measured ~2 ms/note in Mosaic; the
     # dynamic-offset *accumulation* into out_ref is cheap. The note loop is
     # fully unrolled — unrolled vector blocks pipeline at <1 us/note, while a
     # `lax.fori_loop` iteration costs ~0.5 ms of loop overhead.
+    note_refs, out_ref = refs[:note_tile], refs[note_tile]
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -74,11 +76,73 @@ def _kernel(
         def _():
             # stream dtype may be bf16 (halves the dominant HBM traffic);
             # rotation happens in the stream dtype, accumulation in f32
-            x = bnotes_ref[0, i].astype(jnp.float32)  # (rows, 128), static index
+            x = note_refs[i][0].astype(jnp.float32)  # (rows, 128)
             a = pltpu.roll(x, r, 1)  # lane rotate
             c = pltpu.roll(a, 1, 0)  # row carry for wrapped lanes
             contrib = jnp.where(lane >= r, a, c) * g
             out_ref[0, pl.ds(q, rows), :] = out_ref[0, pl.ds(q, rows), :] + contrib
+
+
+def _gather_blend_kernel(im_ref, is_ref, lam_ref, main_ref, sub_ref, out_ref):
+    lam = lam_ref[pl.program_id(0)]
+    m = main_ref[...].astype(jnp.float32)
+    s = sub_ref[...].astype(jnp.float32)
+    out_ref[...] = ((1.0 - lam) * m + lam * s).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_blend(
+    table: jnp.ndarray,  # (n_rows, L) bank, L % 128 == 0
+    idx_main: jnp.ndarray,  # (N,) i32 row ids
+    idx_sub: jnp.ndarray,  # (N,) i32 row ids
+    lam: jnp.ndarray,  # (N,) f32 mixup weights
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> (N, L) mixup blends (1-lam)*table[main] + lam*table[sub].
+
+    XLA lowers the (B, N_SLOTS) row gather of the one-shot bank to a
+    row-at-a-time loop (measured 4.3 ms of the flagship render for ~200 MB
+    of traffic). Here the gather is the canonical Pallas index_map-from-
+    scalar-prefetch pattern: each grid step DMAs exactly the two rows it
+    needs straight out of HBM and writes the blend once — pure streaming at
+    memory speed, independent of the bank's row count (a one-hot-matmul
+    gather would scale with it)."""
+    n_rows, L = table.shape
+    assert L % LANE == 0
+    rows = L // LANE
+    t3 = table.reshape(n_rows, rows, LANE)
+    n = idx_main.shape[0]
+    out = pl.pallas_call(
+        _gather_blend_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows, LANE),
+                    lambda i, im, isub, lam: (im[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, rows, LANE),
+                    lambda i, im, isub, lam: (isub[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows, LANE), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, rows, LANE), table.dtype),
+        interpret=interpret,
+    )(
+        idx_main.astype(jnp.int32),
+        idx_sub.astype(jnp.int32),
+        lam.astype(jnp.float32),
+        t3,
+        t3,
+    )
+    return out.reshape(n, L)
 
 
 @functools.partial(
@@ -117,44 +181,41 @@ def place_notes(
         onset = jnp.pad(onset, ((0, 0), (0, pad_n)))
         gain = jnp.pad(gain, ((0, 0), (0, pad_n)))
         max_notes += pad_n
-    blend4 = jnp.pad(
-        blend.reshape(B, n_slots, L // LANE, LANE),
-        ((0, 0), (0, 0), (0, rows - L // LANE), (0, 0)),
+    # (B*n_slots, rows, LANE) flat blend rows; each note's row is DMA'd
+    # straight into its own kernel input block by an index_map that reads the
+    # flat row id from scalar-prefetch SMEM (the gather_blend pattern). The
+    # round-1/2 one-hot-matmul pre-gather materialized a (B, MAX_NOTES, rows,
+    # 128) stream through HBM (~190 MB write + read at flagship shapes) and
+    # needed an optimization barrier; the historical notes stand: an XLA
+    # advanced-indexing gather of that tensor measured ~8 s, the 4-D einsum
+    # form paid a ~1.6 ms relayout.
+    blend_flat = jnp.pad(
+        blend.reshape(B * n_slots, L // LANE, LANE),
+        ((0, 0), (0, rows - L // LANE), (0, 0)),
+    ).astype(stream_dtype)
+    slot_flat = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * n_slots + slot.astype(jnp.int32)
     )
-    # per-note blend rows via a one-hot MXU matmul — an XLA advanced-indexing
-    # gather of the same (B, N, rows, 128) result measured ~8 s (!) on TPU,
-    # the 27-way contraction runs in a few ms
-    onehot = jax.nn.one_hot(slot.astype(jnp.int32), n_slots, dtype=blend4.dtype)
-    # contract with (rows, lane) flattened: with the 4-D "bns,bsrl->bnrl" form
-    # XLA assigns the dot output a {3,1,2,0} layout and inserts a ~1.6 ms
-    # relayout copy before the kernel; the flattened form gets the default
-    # layout and the reshape back to 4-D is free metadata
-    bnotes = jnp.einsum(
-        "bns,bsm->bnm",
-        onehot,
-        blend4.reshape(B, n_slots, rows * LANE),
-        preferred_element_type=jnp.float32,
-    ).astype(stream_dtype).reshape(B, max_notes, rows, LANE)
-    # materialize bnotes before the kernel: without the barrier XLA schedules
-    # the dot worse (measured ~0.7 ms/step slower) and in the 4-D-einsum era
-    # fused it into the pallas block fetches outright (6 s instead of ~10 ms)
-    bnotes = jax.lax.optimization_barrier(bnotes)
 
     q = (onset.astype(jnp.int32) // LANE).astype(jnp.int32)
     r = (onset.astype(jnp.int32) % LANE).astype(jnp.int32)
 
+    def _note_index_map(k):
+        def index_map(b, t, s_ref, q_ref, r_ref, g_ref):
+            return (s_ref[b, t * note_tile + k], 0, 0)
+
+        return index_map
+
     out = pl.pallas_call(
         functools.partial(_kernel, note_tile=note_tile, rows=rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(B, max_notes // note_tile),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (1, note_tile, rows, LANE),
-                    lambda b, t, *_: (b, t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                    (1, rows, LANE), _note_index_map(k), memory_space=pltpu.VMEM
+                )
+                for k in range(note_tile)
             ],
             out_specs=pl.BlockSpec(
                 (1, pr, LANE), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
@@ -163,9 +224,10 @@ def place_notes(
         out_shape=jax.ShapeDtypeStruct((B, pr, LANE), jnp.float32),
         interpret=interpret,
     )(
+        slot_flat,
         q,
         r,
         gain.astype(jnp.float32),
-        bnotes,
+        *([blend_flat] * note_tile),
     )
     return out.reshape(B, pr * LANE)[:, :chunk_samples]
