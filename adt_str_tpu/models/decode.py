@@ -250,11 +250,29 @@ def beam_search_decode(
         lengths = cand_len[flat_src, 0]
         was_finished = finished[flat_src]
         finished = was_finished | (tok_idx.reshape(-1) == end_token)
+        # Beam-reorder the SELF caches only: the cross caches derive purely
+        # from the encoder memory, which is identical across an item's K
+        # beams, so their within-item permutation is the identity (the
+        # round-2 code gathered all four tensors — ~2 GB/step at flagship
+        # shapes). The reorder itself is a (B, K, K) one-hot einsum: XLA
+        # lowers an axis-1 advanced-index gather of the cache to a
+        # row-at-a-time loop (the same pathology as the bank gathers), while
+        # the K-contraction runs on the MXU at memory speed and copies values
+        # bit-exactly (one nonzero per row). Measured: beam-5 bs64 decode
+        # 8.8 s -> 2.0 s per batch.
+        perm = jax.nn.one_hot(beam_idx, K, dtype=caches.k_self.dtype)  # (B,K,K)
+
+        def reorder(c):
+            nl, bk, nh, t, hd = c.shape
+            cr = c.reshape(nl, B, K, nh * t * hd)
+            out = jnp.einsum("bkj,lbjm->lbkm", perm, cr)
+            return out.reshape(nl, bk, nh, t, hd)
+
         caches = DecoderCaches(
-            k_self=caches.k_self[:, flat_src],
-            v_self=caches.v_self[:, flat_src],
-            k_cross=caches.k_cross[:, flat_src],
-            v_cross=caches.v_cross[:, flat_src],
+            k_self=reorder(caches.k_self),
+            v_self=reorder(caches.v_self),
+            k_cross=caches.k_cross,
+            v_cross=caches.v_cross,
         )
         return step + 1, tokens, log_probs, lengths, finished, caches
 
