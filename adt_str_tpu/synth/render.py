@@ -300,7 +300,9 @@ def render_batch_arrays(
     fx_fn = lambda w, k: random_fx_chain(
         w, sample_rate, k, use_reverb_prob, use_compression_prob, use_limiter_prob
     )
-    if use_fx_prob > 0.55 or B <= 8:
+    if use_fx_prob <= 0.0:
+        pass  # chain disabled: no row can draw it
+    elif use_fx_prob > 0.55 or B <= 8:
         wav_fx = jax.vmap(fx_fn)(wav, k_fx)
         wav = jnp.where(use_fx[:, None], wav_fx, wav)
     else:
