@@ -96,8 +96,8 @@ def _tap_delays(sr: int) -> np.ndarray:
     return np.unique((d * jitter).astype(np.int64))
 
 
-def _envelope(x: jnp.ndarray, sr: int, attack_ms, release_ms) -> jnp.ndarray:
-    """Peak envelope on an 8x-decimated grid, repeat-upsampled."""
+def _envelope_dec(x: jnp.ndarray, sr: int, attack_ms, release_ms) -> jnp.ndarray:
+    """Peak envelope on the 8x-decimated grid (NOT upsampled)."""
     n = x.shape[-1]
     n_dec = n // ENV_DECIM
     ax = jnp.abs(x[: n_dec * ENV_DECIM]).reshape(n_dec, ENV_DECIM).max(axis=-1)
@@ -106,19 +106,31 @@ def _envelope(x: jnp.ndarray, sr: int, attack_ms, release_ms) -> jnp.ndarray:
     release_coeff = jnp.exp(-1.0 / (sr_dec * jnp.maximum(release_ms, 1.0) / 1000.0))
     fast = ema_scan(ax, attack_coeff)
     slow = ema_scan(ax, release_coeff)
-    env = jnp.maximum(fast, slow)
-    env = jnp.repeat(env, ENV_DECIM, axis=-1)
-    return jnp.pad(env, (0, n - env.shape[-1]), mode="edge")
+    return jnp.maximum(fast, slow)
+
+
+def _upsample_to(g: jnp.ndarray, n: int) -> jnp.ndarray:
+    g = jnp.repeat(g, ENV_DECIM, axis=-1)
+    return jnp.pad(g, (0, n - g.shape[-1]), mode="edge")
+
+
+def _envelope(x: jnp.ndarray, sr: int, attack_ms, release_ms) -> jnp.ndarray:
+    """Peak envelope on an 8x-decimated grid, repeat-upsampled."""
+    return _upsample_to(_envelope_dec(x, sr, attack_ms, release_ms), x.shape[-1])
 
 
 def compressor(
     x: jnp.ndarray, sr: int, threshold_db, ratio, attack_ms, release_ms
 ) -> jnp.ndarray:
-    env = _envelope(x, sr, attack_ms, release_ms)
+    # gain computed on the DECIMATED envelope, then repeat-upsampled: repeat
+    # commutes with the elementwise gain computer, so this is bit-identical
+    # to upsampling the envelope first but pays the log10/pow transcendentals
+    # on 8x fewer elements (they were the chain's next cost after the scans)
+    env = _envelope_dec(x, sr, attack_ms, release_ms)
     env_db = 20.0 * jnp.log10(env + 1e-8)
     over_db = jnp.maximum(0.0, env_db - threshold_db)
     gain_db = over_db * (1.0 / jnp.maximum(ratio, 1.0) - 1.0)
-    return x * jnp.power(10.0, gain_db / 20.0)
+    return x * _upsample_to(jnp.power(10.0, gain_db / 20.0), x.shape[-1])
 
 
 def limiter(x: jnp.ndarray, sr: int, threshold_db, release_ms=100.0) -> jnp.ndarray:
@@ -129,12 +141,13 @@ def limiter(x: jnp.ndarray, sr: int, threshold_db, release_ms=100.0) -> jnp.ndar
     passed ~1.4 dB above threshold; with the pre-stage + instant attack the
     ceiling tracks the oracle within the envelope-decimation granularity)."""
     y = compressor(x, sr, -10.0, 4.0, 2.0, 200.0)
-    # attack 0 floors to 0.1 ms in _envelope => coeff ~0.04: the decimated
-    # peak passes through essentially unsmoothed (instant attack per window)
-    env = _envelope(y, sr, attack_ms=0.0, release_ms=release_ms)
+    # attack 0 floors to 0.1 ms in _envelope_dec => coeff ~0.04: the
+    # decimated peak passes through essentially unsmoothed (instant attack
+    # per window); gain computed decimated like the compressor
+    env = _envelope_dec(y, sr, attack_ms=0.0, release_ms=release_ms)
     env_db = 20.0 * jnp.log10(env + 1e-8)
     gain_db = -jnp.maximum(0.0, env_db - threshold_db)
-    y = y * jnp.power(10.0, gain_db / 20.0)
+    y = y * _upsample_to(jnp.power(10.0, gain_db / 20.0), y.shape[-1])
     return jnp.clip(y, -1.0, 1.0)
 
 
