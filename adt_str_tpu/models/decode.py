@@ -13,7 +13,10 @@ Semantics parity with the reference (`model.py:260-508`):
   log-prob, preserving their score and frozen length), results padded with EOS
   to a common length (model.py:485-500). The reference loops over beams in
   Python per batch item; here all B*beam hypotheses advance in one batched
-  XLA program.
+  XLA program with parent-pointer KV caches: cache rows are written once and
+  never moved, and a per-position ancestor one-hot selects each beam's
+  history inside the attention contraction (`_anc_attention`), eliminating
+  the per-step full-cache beam reorder.
 
 Outputs truncate identically under the eval convention (stop at first
 EOS/PAD, eval.py:379-381) because frozen rows are EOS-filled.
@@ -71,12 +74,53 @@ def init_caches(
     )
 
 
+def _anc_attention(
+    q: jnp.ndarray,  # (B*K, H, 1, hd)
+    k: jnp.ndarray,  # (B*K, H, T, hd) slot-local cache (never beam-reordered)
+    v: jnp.ndarray,  # (B*K, H, T, hd)
+    anc: jnp.ndarray,  # (B, K, T, K) one-hot: slot holding beam k's position-t row
+    step: jnp.ndarray,
+) -> jnp.ndarray:
+    """Self-attention over parent-pointer caches.
+
+    Beam search never moves cache rows; instead each live beam knows, per
+    time position, which slot's cache row belongs to its ancestry (`anc`).
+    Scores are computed against every slot's row and the ancestor's one is
+    selected by a one-hot contraction — one nonzero per (beam, position), so
+    the selected values are bit-exact dot products, identical to attending
+    over a physically reordered cache. Costs K x the (tiny) attention flops
+    and zero cache traffic, vs the reorder's full-cache read+write per step.
+    """
+    BK, H, _, hd = q.shape
+    T_len = k.shape[2]
+    K = anc.shape[1]
+    B = BK // K
+    qb = q.reshape(B, K, H, hd)
+    kb = k.reshape(B, K, H, T_len, hd)
+    vb = v.reshape(B, K, H, T_len, hd)
+    scores = jnp.einsum(
+        "bkhd,bjhtd->bhkjt", qb, kb, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    sel = jnp.einsum("bhkjt,bktj->bhkt", scores, anc.astype(jnp.float32))
+    pos = jnp.arange(T_len)
+    sel = sel + jnp.where(pos[None, None, None, :] > step, T.NEG_MASK, 0.0)
+    probs = jax.nn.softmax(sel, axis=-1).astype(q.dtype)  # (B, H, K, T)
+    # fold the ancestor selection into the value weights (multiply by the
+    # 0/1 one-hot: exact); unwritten positions hold zero rows, so the
+    # near-zero masked probabilities contribute exactly 0, as in the
+    # contiguous-cache path
+    pf = probs[:, :, :, None, :] * anc.transpose(0, 1, 3, 2)[:, None].astype(q.dtype)
+    out = jnp.einsum("bhkjt,bjhtd->bkhd", pf, vb)
+    return out.reshape(BK, H, 1, hd)
+
+
 def decode_step(
     params: Params,
     config: ModelConfig,
     token: jnp.ndarray,  # (B,) current input token
     step: jnp.ndarray,  # scalar position of `token`
     caches: DecoderCaches,
+    anc: jnp.ndarray | None = None,  # (B, K, max_len, K) beam ancestor one-hot
 ) -> tuple[jnp.ndarray, DecoderCaches]:
     """One incremental decoder step -> (B, vocab) logits for the next token."""
     compute = jnp.dtype(config.compute_dtype)
@@ -109,7 +153,10 @@ def decode_step(
         v_self = jax.lax.dynamic_update_slice(
             v_self, v_new[None], (li, 0, 0, step, 0)
         )
-        attn = T.attention_core(q, k_self[li], v_self[li], self_mask)
+        if anc is None:
+            attn = T.attention_core(q, k_self[li], v_self[li], self_mask)
+        else:
+            attn = _anc_attention(q, k_self[li], v_self[li], anc, step)
         attn = T.linear(p_sa["out_proj"], T.merge_heads(attn))
         x = T.layer_norm(layer["norm1"], x + attn)
 
@@ -203,8 +250,17 @@ def beam_search_decode(
 
     mem_beam = jnp.repeat(memory, K, axis=0)  # (B*K, S, d)
     caches = init_caches(params, mem_beam, config, max_length)
+    # slot-local token store: row k records the token slot k consumed at each
+    # position; rows are never beam-reordered (the final sequence is
+    # reconstructed from the ancestor matrix)
     tokens = jnp.full((B * K, max_length), end_token, dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(start_token)
+    # ancestor one-hot: anc[b, k, t, j] = 1 iff beam k's position-t cache row
+    # lives in slot j; starts as the identity (every slot wrote its own BOS)
+    compute = jnp.dtype(config.compute_dtype)
+    anc = jnp.broadcast_to(
+        jnp.eye(K, dtype=compute)[None, :, None, :], (B, K, max_length, K)
+    )
     # only beam 0 is live initially; others start at -inf so first expansion
     # seeds distinct hypotheses (reference starts from one beam per item)
     log_probs = jnp.tile(
@@ -219,12 +275,14 @@ def beam_search_decode(
         return lp / jnp.power(ln.astype(jnp.float32), length_penalty)
 
     def cond(state):
-        step, _, _, _, finished, _ = state
+        step, _, _, _, finished, _, _ = state
         return (step < max_length - 1) & ~jnp.all(finished)
 
     def body(state):
-        step, tokens, log_probs, lengths, finished, caches = state
-        logits, caches = decode_step(params, config, tokens[:, step], step, caches)
+        step, tokens, log_probs, lengths, finished, caches, anc = state
+        logits, caches = decode_step(
+            params, config, tokens[:, step], step, caches, anc=anc
+        )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B*K, V)
         # finished beams contribute exactly one candidate: themselves + EOS at
         # zero log-prob (score and length frozen)
@@ -235,12 +293,17 @@ def beam_search_decode(
         cand_score = score(cand_lp, jnp.broadcast_to(cand_len, cand_lp.shape))
 
         cand_score = cand_score.reshape(B, K * V)
-        top_score, top_idx = jax.lax.top_k(cand_score, K)  # (B, K)
+        _, top_idx = jax.lax.top_k(cand_score, K)  # (B, K)
         beam_idx = top_idx // V  # source beam within item
         tok_idx = (top_idx % V).astype(jnp.int32)
         flat_src = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)  # (B*K,)
 
-        tokens = tokens[flat_src]
+        # Caches and the token store stay slot-local — NO beam reorder at
+        # all. The round-2 code physically permuted the self caches each
+        # step (a one-hot MXU contraction; still a full cache read+write,
+        # the dominant cost at ~2 GB/step for flagship shapes). Here only
+        # the (B, K, T, K) ancestor matrix is permuted; the new slot's
+        # next-position row points at itself.
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok_idx.reshape(-1, 1), (0, step + 1)
         )
@@ -250,35 +313,21 @@ def beam_search_decode(
         lengths = cand_len[flat_src, 0]
         was_finished = finished[flat_src]
         finished = was_finished | (tok_idx.reshape(-1) == end_token)
-        # Beam-reorder the SELF caches only: the cross caches derive purely
-        # from the encoder memory, which is identical across an item's K
-        # beams, so their within-item permutation is the identity (the
-        # round-2 code gathered all four tensors — ~2 GB/step at flagship
-        # shapes). The reorder itself is a (B, K, K) one-hot einsum: XLA
-        # lowers an axis-1 advanced-index gather of the cache to a
-        # row-at-a-time loop (the same pathology as the bank gathers), while
-        # the K-contraction runs on the MXU at memory speed and copies values
-        # bit-exactly (one nonzero per row). Measured: beam-5 bs64 decode
-        # 8.8 s -> 2.0 s per batch.
-        perm = jax.nn.one_hot(beam_idx, K, dtype=caches.k_self.dtype)  # (B,K,K)
-
-        def reorder(c):
-            nl, bk, nh, t, hd = c.shape
-            cr = c.reshape(nl, B, K, nh * t * hd)
-            out = jnp.einsum("bkj,lbjm->lbkm", perm, cr)
-            return out.reshape(nl, bk, nh, t, hd)
-
-        caches = DecoderCaches(
-            k_self=reorder(caches.k_self),
-            v_self=reorder(caches.v_self),
-            k_cross=caches.k_cross,
-            v_cross=caches.v_cross,
+        perm = jax.nn.one_hot(beam_idx, K, dtype=anc.dtype)  # (B, K, K)
+        anc = jnp.einsum("bkj,bjts->bkts", perm, anc)
+        eye_row = jnp.broadcast_to(
+            jnp.eye(K, dtype=anc.dtype)[None, :, None, :], (B, K, 1, K)
         )
-        return step + 1, tokens, log_probs, lengths, finished, caches
+        anc = jax.lax.dynamic_update_slice(anc, eye_row, (0, 0, step + 1, 0))
+        return step + 1, tokens, log_probs, lengths, finished, caches, anc
 
-    _, tokens, log_probs, lengths, finished, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), tokens, log_probs, lengths, finished, caches)
+    _, tokens, log_probs, lengths, finished, _, anc = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), tokens, log_probs, lengths, finished, caches, anc)
     )
     final_scores = score(log_probs, lengths).reshape(B, K)
     best = jnp.argmax(final_scores, axis=-1)  # (B,)
-    return tokens.reshape(B, K, max_length)[jnp.arange(B), best]
+    # backtrace: position t of the best beam was consumed by slot
+    # anc[b, best, t]; one-hot x integer store is exact in fp32
+    anc_best = anc[jnp.arange(B), best].astype(jnp.float32)  # (B, T, K)
+    tok_slots = tokens.reshape(B, K, max_length).astype(jnp.float32)
+    return jnp.einsum("btj,bjt->bt", anc_best, tok_slots).astype(jnp.int32)
