@@ -175,6 +175,7 @@ class ModelConfig(SharedConfig):
     max_positions: int = 2048  # sinusoidal PE table length (model.py:53)
     use_pallas_mel: bool = False
     use_flash_attention: bool = False  # fused short-seq attention kernel
+    use_pallas_ffn: bool = False  # fused FFN+dropout kernel (train hot path)
 
     @property
     def d_model(self) -> int:

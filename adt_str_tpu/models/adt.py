@@ -101,9 +101,11 @@ def encode(
     keys = jax.random.split(rng, n_layers + 2) if rng is not None else [None] * (n_layers + 2)
     x = T.dropout(x, config.dropout, keys[0], train)
     use_flash = config.use_flash_attention and jax.default_backend() != "cpu"
+    use_pffn = config.use_pallas_ffn and jax.default_backend() != "cpu"
     for p_layer, k in zip(enc["layers"], keys[1 : 1 + n_layers]):
         x = T.encoder_layer_forward(
-            p_layer, x, config.nhead, config.dropout, k, train, use_flash=use_flash
+            p_layer, x, config.nhead, config.dropout, k, train,
+            use_flash=use_flash, use_pallas_ffn=use_pffn,
         )
     x = T.layer_norm(enc["final_ln"], x)
     x = T.dropout(x, config.dropout, keys[-1], train)
@@ -152,6 +154,7 @@ def decode_logits(
     keys = jax.random.split(rng, n_layers + 1) if rng is not None else [None] * (n_layers + 1)
     x = T.dropout(x, config.dropout, keys[0], train)
     use_flash = config.use_flash_attention and jax.default_backend() != "cpu"
+    use_pffn = config.use_pallas_ffn and jax.default_backend() != "cpu"
     for p_layer, k in zip(dec["layers"], keys[1:]):
         x = T.decoder_layer_forward(
             p_layer,
@@ -163,6 +166,7 @@ def decode_logits(
             train,
             self_mask=self_mask,
             use_flash=use_flash,
+            use_pallas_ffn=use_pffn,
         )
     return T.linear(dec["generator"], x)
 

@@ -303,6 +303,35 @@ def _flash_attention(
     return out[:, :, :Tq, :]
 
 
+def _fused_ffn_ok(x: jnp.ndarray, train: bool, rate: float, key) -> bool:
+    """The fused FFN kernel covers the training configuration (dropout
+    active, lane-aligned dims); other cases keep the measured-fine XLA path."""
+    return (
+        train and rate > 0.0 and key is not None
+        # lane-aligned d_model (and hence d_ff = 4*d_model)
+        and x.shape[-1] % 128 == 0
+    )
+
+
+def ffn_dropout_block(
+    p: Params, x: jnp.ndarray, rate: float, key_h, key_o, interpret: bool = False
+) -> jnp.ndarray:
+    """`dropout(linear2(dropout(gelu(linear1(x)))))` via the fused Pallas
+    kernel (ops/pallas_ffn.py): the (N, d_ff) hidden stays in VMEM and the
+    dropout masks are the same counter-hash stream as `dropout` would draw
+    for the same keys."""
+    from adt_str_tpu.ops.pallas_ffn import fused_ffn_dropout
+
+    b, t, d = x.shape
+    seeds = jnp.concatenate([_seed_from_key(key_h), _seed_from_key(key_o)])
+    seeds_f = jax.lax.bitcast_convert_type(seeds, jnp.float32).reshape(1, 4)
+    out = fused_ffn_dropout(
+        p["linear1"]["w"], p["linear1"]["b"], p["linear2"]["w"], p["linear2"]["b"],
+        x.reshape(b * t, d), seeds_f, 1.0 - rate, 1.0 - rate, interpret,
+    )
+    return out.reshape(b, t, d)
+
+
 def ffn_forward(p: Params, x: jnp.ndarray, dropout_rate, key, train) -> jnp.ndarray:
     # torch activation="gelu" is the exact erf GELU.
     # NOTE(r3): a memory-lean custom VJP that saved only the gelu
@@ -326,6 +355,7 @@ def encoder_layer_forward(
     train: bool,
     mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    use_pallas_ffn: bool = False,
 ) -> jnp.ndarray:
     keys = jax.random.split(key, 4) if key is not None else (None,) * 4
     attn = multihead_attention(
@@ -333,8 +363,12 @@ def encoder_layer_forward(
         use_flash=use_flash,
     )
     x = layer_norm(p["norm1"], x + dropout(attn, dropout_rate, keys[0], train))
-    ff = ffn_forward(p["ffn"], x, dropout_rate, keys[1], train)
-    x = layer_norm(p["norm2"], x + dropout(ff, dropout_rate, keys[2], train))
+    if use_pallas_ffn and _fused_ffn_ok(x, train, dropout_rate, keys[1]):
+        ff_drop = ffn_dropout_block(p["ffn"], x, dropout_rate, keys[1], keys[2])
+    else:
+        ff = ffn_forward(p["ffn"], x, dropout_rate, keys[1], train)
+        ff_drop = dropout(ff, dropout_rate, keys[2], train)
+    x = layer_norm(p["norm2"], x + ff_drop)
     return x
 
 
@@ -349,6 +383,7 @@ def decoder_layer_forward(
     self_mask: Optional[jnp.ndarray] = None,
     cross_mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    use_pallas_ffn: bool = False,
 ) -> jnp.ndarray:
     keys = jax.random.split(key, 6) if key is not None else (None,) * 6
     attn = multihead_attention(
@@ -361,8 +396,12 @@ def decoder_layer_forward(
         use_flash=use_flash,
     )
     x = layer_norm(p["norm2"], x + dropout(cross, dropout_rate, keys[1], train))
-    ff = ffn_forward(p["ffn"], x, dropout_rate, keys[2], train)
-    x = layer_norm(p["norm3"], x + dropout(ff, dropout_rate, keys[3], train))
+    if use_pallas_ffn and _fused_ffn_ok(x, train, dropout_rate, keys[2]):
+        ff_drop = ffn_dropout_block(p["ffn"], x, dropout_rate, keys[2], keys[3])
+    else:
+        ff = ffn_forward(p["ffn"], x, dropout_rate, keys[2], train)
+        ff_drop = dropout(ff, dropout_rate, keys[3], train)
+    x = layer_norm(p["norm3"], x + ff_drop)
     return x
 
 
