@@ -176,6 +176,12 @@ class ModelConfig(SharedConfig):
     use_pallas_mel: bool = False
     use_flash_attention: bool = False  # fused short-seq attention kernel
     use_pallas_ffn: bool = False  # fused FFN+dropout kernel (train hot path)
+    # per-layer jax.checkpoint during training: recompute activations in the
+    # backward pass instead of storing them, trading ~1 extra forward of
+    # FLOPs for O(layers) less activation memory — enables larger batches /
+    # models per chip (TPU addition; the reference never enables torch's
+    # equivalent gradient_checkpointing knob)
+    remat: bool = False
 
     @property
     def d_model(self) -> int:

@@ -102,11 +102,18 @@ def encode(
     x = T.dropout(x, config.dropout, keys[0], train)
     use_flash = config.use_flash_attention and jax.default_backend() != "cpu"
     use_pffn = config.use_pallas_ffn and jax.default_backend() != "cpu"
-    for p_layer, k in zip(enc["layers"], keys[1 : 1 + n_layers]):
-        x = T.encoder_layer_forward(
+
+    def _layer(p_layer, x, k):
+        return T.encoder_layer_forward(
             p_layer, x, config.nhead, config.dropout, k, train,
             use_flash=use_flash, use_pallas_ffn=use_pffn,
         )
+
+    if config.remat and train:
+        # identical math; activations recomputed in backward (config.remat)
+        _layer = jax.checkpoint(_layer)
+    for p_layer, k in zip(enc["layers"], keys[1 : 1 + n_layers]):
+        x = _layer(p_layer, x, k)
     x = T.layer_norm(enc["final_ln"], x)
     x = T.dropout(x, config.dropout, keys[-1], train)
     return x
@@ -155,11 +162,13 @@ def decode_logits(
     x = T.dropout(x, config.dropout, keys[0], train)
     use_flash = config.use_flash_attention and jax.default_backend() != "cpu"
     use_pffn = config.use_pallas_ffn and jax.default_backend() != "cpu"
-    for p_layer, k in zip(dec["layers"], keys[1:]):
-        x = T.decoder_layer_forward(
+    mem = memory.astype(compute)
+
+    def _layer(p_layer, x, mem, self_mask, k):
+        return T.decoder_layer_forward(
             p_layer,
             x,
-            memory.astype(compute),
+            mem,
             config.nhead,
             config.dropout,
             k,
@@ -168,6 +177,12 @@ def decode_logits(
             use_flash=use_flash,
             use_pallas_ffn=use_pffn,
         )
+
+    if config.remat and train:
+        # identical math; activations recomputed in backward (config.remat)
+        _layer = jax.checkpoint(_layer)
+    for p_layer, k in zip(dec["layers"], keys[1:]):
+        x = _layer(p_layer, x, mem, self_mask, k)
     return T.linear(dec["generator"], x)
 
 

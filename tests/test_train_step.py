@@ -331,3 +331,33 @@ def test_multisteps_opt_state_checkpoint_roundtrip(tmp_path):
 
     for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=0)
+
+
+def test_remat_grads_match_plain():
+    """config.remat wraps each transformer layer in jax.checkpoint: identical
+    math, activations recomputed in backward. Loss and every gradient leaf
+    must match the non-remat step (same ops re-executed -> tight tolerance),
+    with dropout active so the recomputed mask stream is exercised too."""
+    batch = None
+    grads = {}
+    for remat in (False, True):
+        cfg = tiny_config(enc_layers=2, dec_layers=2, dropout=0.2, remat=remat)
+        params = adt.init_params(jax.random.PRNGKey(0), cfg)
+        if batch is None:
+            batch = make_batch(cfg)
+        rng = jax.random.PRNGKey(42)
+
+        def loss_fn(p):
+            return adt.forward_loss(
+                p, batch["wavs"], batch["tokens"], batch["token_lengths"],
+                cfg, rng=rng, train=True,
+            )
+
+        loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+        grads[remat] = (float(loss), g)
+
+    assert abs(grads[False][0] - grads[True][0]) < 1e-6
+    flat_a = jax.tree.leaves(grads[False][1])
+    flat_b = jax.tree.leaves(grads[True][1])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
