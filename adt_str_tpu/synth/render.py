@@ -118,6 +118,13 @@ class SynthStatics(NamedTuple):
 
         if dtype is None:
             dtype = jnp.bfloat16 if _jax.default_backend() != "cpu" else jnp.float32
+        # the ADTOF one-hot MXU contraction in _sample_timbre_rows reads the
+        # int32 offset/count tables through f32 — exact only below 2^24 rows
+        if bank.waveforms.shape[0] >= (1 << 24):
+            raise ValueError(
+                f"bank has {bank.waveforms.shape[0]} one-shots; the f32 "
+                "one-hot table contraction is exact only below 2^24 rows"
+            )
         table, counts = adtof_member_tables()
         return cls(
             waveforms=jnp.asarray(bank.waveforms, dtype=dtype),
@@ -143,28 +150,49 @@ def _sample_timbre_rows(
     (False when the pitch has no eligible bank bin — the caller silences such
     slots). Sequence of choices mirrors `random_choice_timbre`
     (synthetiser.py:192-202): [ADTOF member pitch] -> eligible existing bin ->
-    timbre within bin."""
+    timbre within bin.
+
+    Gather-free by construction: XLA:TPU lowers data-dependent gathers to
+    element-at-a-time loops (~1 us each — the vmapped B x N_SLOTS x 2-draw
+    stage measured ~2 ms/step of pure gather loops). The static pitch range
+    makes the table reads contiguous slices, the ADTOF member redirect is a
+    one-hot MXU contraction over the 128 pitch rows (exact: all table values
+    < 2^24, guarded in `SynthStatics.from_bank`), and the chosen-bin
+    count/offset reads are one-hot multiplies over the N_BINS axis. Draw
+    order and index math are unchanged, so results are bit-identical to the
+    gathered formulation."""
     k_member, k_bin, k_timbre = jax.random.split(key, 3)
-    pitches = jnp.arange(PITCH_LO, PITCH_HI + 1)
+    sl = slice(PITCH_LO, PITCH_HI + 1)
 
     # array maxval -> per-slot true bound (32-bit draw: residual modulo bias
     # ~bound/2^32, vs ~bound/1e6 for the reference's random.choice-equivalent)
     if adtof:
         m = jax.random.randint(
-            k_member, (N_SLOTS,), 0, jnp.maximum(statics.member_count[pitches], 1)
+            k_member, (N_SLOTS,), 0, jnp.maximum(statics.member_count[sl], 1)
         )
-        pitches = statics.member_table[pitches, m]
+        member = statics.member_table[sl]  # (N_SLOTS, 8) static slice
+        pitches = jnp.sum(
+            member * jax.nn.one_hot(m, member.shape[1], dtype=member.dtype), axis=1
+        )
+        oh = jax.nn.one_hot(pitches, 128, dtype=jnp.float32)  # (N_SLOTS, 128)
+        counts = (oh @ statics.bin_count.astype(jnp.float32)).astype(jnp.int32)
+        offsets = (oh @ statics.bin_offset.astype(jnp.float32)).astype(jnp.int32)
+    else:
+        counts = statics.bin_count[sl]  # (N_SLOTS, N_BINS) static slices
+        offsets = statics.bin_offset[sl]
 
-    counts = statics.bin_count[pitches]  # (N_SLOTS, N_BINS)
     eligible = (jnp.arange(N_BINS)[None, :] < n_allowed) & (counts > 0)
     n_eligible = eligible.sum(axis=1)
     r = jax.random.randint(k_bin, (N_SLOTS,), 0, jnp.maximum(n_eligible, 1))
     cum = jnp.cumsum(eligible.astype(jnp.int32), axis=1)
-    bin_idx = jnp.argmax((cum == (r + 1)[:, None]) & eligible, axis=1)
-
-    cnt = counts[jnp.arange(N_SLOTS), bin_idx]
+    # exactly one True per row when n_eligible > 0: cum hits r+1 at the
+    # (r+1)-th eligible bin only (all-False rows select cnt=off=0, the same
+    # values the gathered form read from the zero-initialized tables)
+    sel = ((cum == (r + 1)[:, None]) & eligible).astype(jnp.int32)
+    cnt = jnp.sum(counts * sel, axis=1)
+    off = jnp.sum(offsets * sel, axis=1)
     t = jax.random.randint(k_timbre, (N_SLOTS,), 0, jnp.maximum(cnt, 1))
-    return statics.bin_offset[pitches, bin_idx] + t, n_eligible > 0
+    return off + t, n_eligible > 0
 
 
 @partial(
