@@ -311,6 +311,10 @@ class MeshConfig:
 
     data_axis: int = -1  # -1: all remaining devices
     model_axis: int = 1
+    # ZeRO-3-style fully-sharded params/optimizer over the data axis: each
+    # weight's largest free dim is sharded n_data-ways, XLA inserts the
+    # all-gather/reduce-scatter collectives (parallel/mesh.py:fsdp_partition_specs)
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)

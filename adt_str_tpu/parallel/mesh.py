@@ -103,6 +103,46 @@ def _ln_spec() -> Params:
     return {"scale": P(), "bias": P()}
 
 
+def _fsdp_extend(spec: P, shape: tuple[int, ...], n_shard: int, min_size: int) -> P:
+    """ZeRO-3-style extension of a TP spec: shard the largest still-free dim
+    over the data axis when divisible. Small leaves (< min_size elements) stay
+    replicated — the all-gather latency would exceed the memory saved."""
+    size = 1
+    for s in shape:
+        size *= s
+    if n_shard <= 1 or size < min_size:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = None, 0
+    for d, (e, s) in enumerate(zip(entries, shape)):
+        if e is None and s % n_shard == 0 and s > best_size:
+            best, best_size = d, s
+    if best is None:
+        return spec
+    entries[best] = DATA_AXIS
+    return P(*entries)
+
+
+def fsdp_partition_specs(params: Params, n_data: int, min_size: int = 1024) -> Params:
+    """Fully-sharded (ZeRO-3) partition specs: the Megatron TP layout plus
+    every parameter's largest free dimension sharded over the *data* axis.
+
+    TPU-native FSDP needs no wrapper machinery (the reference's stack would
+    reach for torch FSDP/accelerate here; this framework states a sharding and
+    lets the SPMD partitioner insert the collectives): with params and Adam
+    moments laid out this way, XLA all-gathers each weight just before use,
+    reduce-scatters its gradient, and keeps the optimizer update fully
+    sharded — per-device param+optimizer memory drops ~n_data-fold, which is
+    what lets `remat`-scale models train on a pod slice."""
+    specs = param_partition_specs(params)
+    return jax.tree.map(
+        lambda leaf, spec: _fsdp_extend(spec, np.shape(leaf), n_data, min_size),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def param_partition_specs(params: Params) -> Params:
     """PartitionSpec pytree matching the params tree (Megatron-style TP)."""
 
@@ -140,8 +180,11 @@ def param_partition_specs(params: Params) -> Params:
     }
 
 
-def param_shardings(mesh: Mesh, params: Params) -> Params:
-    specs = param_partition_specs(params)
+def param_shardings(mesh: Mesh, params: Params, fsdp: bool = False) -> Params:
+    if fsdp:
+        specs = fsdp_partition_specs(params, mesh.shape[DATA_AXIS])
+    else:
+        specs = param_partition_specs(params)
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
         specs,
@@ -158,9 +201,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_params(mesh: Mesh, params: Params) -> Params:
+def shard_params(mesh: Mesh, params: Params, fsdp: bool = False) -> Params:
     """Place a host params pytree onto the mesh per the partition specs."""
-    shardings = param_shardings(mesh, params)
+    shardings = param_shardings(mesh, params, fsdp=fsdp)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

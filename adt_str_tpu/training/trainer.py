@@ -227,7 +227,7 @@ def train(cfg: FrameworkConfig) -> TrainState:
         # the mesh spans ALL global devices; params are identical on every
         # host (same seed), so the global device_put in shard_params is valid
         mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
-        params = mesh_lib.shard_params(mesh, params)
+        params = mesh_lib.shard_params(mesh, params, fsdp=cfg.mesh.fsdp)
 
     if data_cfg.dataset_name == "Lakh":
         step_fn = make_synth_train_step(model_cfg, cfg.synthetiser, synth_statics, tx)
@@ -247,7 +247,7 @@ def train(cfg: FrameworkConfig) -> TrainState:
             resume, {"params": state.params, "opt_state": state.opt_state}
         )
         if mesh is not None:
-            p = mesh_lib.shard_params(mesh, p)
+            p = mesh_lib.shard_params(mesh, p, fsdp=cfg.mesh.fsdp)
         state = TrainState(p, o, state.step + start_step)
         logger.info("resumed from %s at step %d", resume, start_step)
 

@@ -115,8 +115,11 @@ def test_two_process_tensor_parallel_train_save_resume(tmp_path):
             "synthetiser": {"oneshot_path": bank_prefix, "similarity_threshold": 1.0,
                             "mixup_range": 0.5, "use_fx_prob": 0.0, "max_notes": 8,
                             "max_oneshot_sec": 0.1},
-            # the point of the test: model sharded ACROSS the two processes
-            "mesh": {"model_axis": 2},
+            # the point of the test: model sharded ACROSS the two processes,
+            # both tensor-parallel and ZeRO-3 (params/moments also sharded
+            # over the data axis) — the sharded orbax save/restore must
+            # handle every layout family
+            "mesh": {"model_axis": 2, "fsdp": True},
             "logging": {"output_dir": str(tmp_path / "out"), "logging_steps": 1,
                         "save_every_n_steps": 2},
             "checkpoint": {"max_checkpoints": 3, "auto_resume": True},
