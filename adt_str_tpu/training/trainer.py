@@ -323,6 +323,35 @@ def train(cfg: FrameworkConfig) -> TrainState:
 
     step_idx = start_step
     t_last = time.perf_counter()
+    # Deferred step logging: fetching the just-dispatched step's loss every
+    # step (reference logging_steps=1) puts a host<->device round trip on the
+    # critical path and serializes dispatch. Instead the metrics of a logging
+    # step are fetched at the *next* logging step — by then they are already
+    # complete, so the fetch is free, the host stays at most one logging
+    # interval ahead (bounded run-ahead: the fetch throttles the dispatch
+    # queue), and the device pipelines H2D/step/D2H. Logged values are
+    # bit-identical, just written one interval later.
+    pending_log = None  # (step_idx, metrics) awaiting fetch
+    last_logged_idx = start_step
+
+    def _flush_step_log() -> None:
+        nonlocal pending_log, last_logged_idx, t_last
+        if pending_log is None:
+            return
+        idx, m = pending_log
+        pending_log = None
+        loss = float(m["loss"])  # blocks only until step `idx` completes
+        now = time.perf_counter()
+        sps = (idx - last_logged_idx) / max(now - t_last, 1e-9)
+        last_logged_idx, t_last = idx, now
+        lr = float(schedule(idx))
+        logger.info(
+            "step %d/%d loss=%.4f grad_norm=%.3f lr=%.2e steps/s=%.2f",
+            idx, total_steps, loss, float(m["grad_norm"]), lr, sps,
+        )
+        if wandb:
+            wandb.log({"loss": loss, "lr": lr, "steps_per_sec": sps}, step=idx)
+
     # deterministic resume: the data order and augmentation stream are keyed
     # by (seed, epoch) and the first `skip` batches of the in-progress epoch
     # are skipped index-only — a resumed run replays the exact remaining
@@ -374,25 +403,16 @@ def train(cfg: FrameworkConfig) -> TrainState:
 
             step_idx += 1
             if step_idx % cfg.logging.logging_steps == 0:
-                loss = float(metrics["loss"])
-                now = time.perf_counter()
-                sps = cfg.logging.logging_steps / (now - t_last)
-                t_last = now
-                lr = float(schedule(step_idx))
-                logger.info(
-                    "step %d/%d loss=%.4f grad_norm=%.3f lr=%.2e steps/s=%.2f",
-                    step_idx, total_steps, loss, float(metrics["grad_norm"]), lr, sps,
-                )
-                if wandb:
-                    wandb.log(
-                        {"loss": loss, "lr": lr, "steps_per_sec": sps}, step=step_idx
-                    )
+                _flush_step_log()
+                pending_log = (step_idx, metrics)
             if eval_every and step_idx % eval_every == 0:
+                _flush_step_log()  # keep wandb step ordering monotonic
                 _run_eval(step_idx)
             if (
                 cfg.logging.save_every_n_steps
                 and step_idx % cfg.logging.save_every_n_steps == 0
             ):
+                _flush_step_log()
                 # every process enters the save (orbax synchronizes the jax
                 # cluster and elects the writer; see checkpoint.py)
                 path = ckpt_lib.save_checkpoint(
@@ -419,6 +439,7 @@ def train(cfg: FrameworkConfig) -> TrainState:
         if step_idx >= total_steps:
             done = True
 
+    _flush_step_log()
     if last_saved_step != step_idx:
         path = ckpt_lib.save_checkpoint(
             output_dir, state.params, state.opt_state, step_idx, epoch,
