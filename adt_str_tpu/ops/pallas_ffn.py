@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 # the mask hash MUST match transformer._hash_mask bit-for-bit; import the
 # constants rather than redefining them (transformer does not import this
 # module at top level, so there is no cycle)
-from adt_str_tpu.models.transformer import _HASH_GOLDEN, _HASH_M1
+from adt_str_tpu.models.transformer import _HASH_GOLDEN, _HASH_M1, _hash_mask
 
 _ROW_TILE = 128  # forward row tile
 
@@ -185,18 +185,12 @@ def _vjp_fwd(w1, b1, w2, b2, x2, seeds_f, keep_h, keep_o, interpret):
 
 
 def _xla_mask(shape, s0, s1, keep: float) -> jnp.ndarray:
-    """transformer._hash_mask over an unpadded (n, cols) array, written from
-    the two raw seed words (they are already _seed_from_key-scrambled)."""
-    n_rows, n_cols = shape
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    idx = rows * jnp.uint32(n_cols) + cols
-    h = idx * _HASH_GOLDEN + s0
-    h = h ^ (h >> 16)
-    h = h * _HASH_M1
-    h = h ^ s1
-    h = h ^ (h >> 15)
-    return h < _thresh(keep)
+    """transformer._hash_mask over an unpadded (n, cols) array, from the two
+    raw seed words (already _seed_from_key-scrambled). Delegates to the
+    canonical implementation so the bit-critical hash lives in exactly two
+    places: transformer._hash_mask (XLA) and _keep_mask (in-kernel, tiled
+    offsets make delegation impossible there)."""
+    return _hash_mask(shape, jnp.stack([s0, s1]), keep)
 
 
 def _vjp_bwd(keep_h, keep_o, interpret, res, g):

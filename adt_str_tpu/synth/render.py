@@ -319,22 +319,26 @@ def render_batch_arrays(
     # randomized FX with probability use_fx_prob. A plain batch-wide
     # where-select computes the chain for EVERY row; instead the fx rows are
     # compacted (leading-axis gather = clean DMA) into a static-size buffer
-    # of ceil(0.625*B) rows and only that subset pays the chain. At the
-    # production use_fx_prob=0.3 the budget sits 5+ sigma above the binomial
-    # mean, so overflow (extra rows silently skipping FX) is ~1e-7 — noted
-    # as an accepted approximation; budget covers all rows whenever
-    # use_fx_prob > 0.55.
+    # and only that subset pays the chain. The budget scales with the draw
+    # probability: mean + 6 sigma of Binomial(B, p), so overflow (extra rows
+    # silently skipping FX) stays < ~1e-8 at ANY p, not just the production
+    # use_fx_prob=0.3 (a fixed 0.625*B budget overflowed routinely for
+    # p in (0.45, 0.55]). When the safe budget reaches B the full vmap path
+    # is cheaper than the gather anyway.
     use_fx = jax.vmap(jax.random.uniform)(k_usefx) < use_fx_prob
     fx_fn = lambda w, k: random_fx_chain(
         w, sample_rate, k, use_reverb_prob, use_compression_prob, use_limiter_prob
     )
+    p_fx = float(use_fx_prob)
+    budget = min(
+        B, int(np.ceil(B * p_fx + 6.0 * np.sqrt(B * p_fx * (1.0 - p_fx)))) if p_fx > 0 else 0
+    )
     if use_fx_prob <= 0.0:
         pass  # chain disabled: no row can draw it
-    elif use_fx_prob > 0.55 or B <= 8:
+    elif budget >= B or B <= 8:
         wav_fx = jax.vmap(fx_fn)(wav, k_fx)
         wav = jnp.where(use_fx[:, None], wav_fx, wav)
     else:
-        budget = -(-B * 5 // 8)
         order = jnp.argsort(~use_fx)  # stable: fx rows first
         idx = order[:budget]
         sub = wav[idx]

@@ -208,6 +208,15 @@ def train(cfg: FrameworkConfig) -> TrainState:
     # holdout_fraction reserves the dataset prefix for in-training eval;
     # those rows never enter shuffled training epochs (datasets._epoch_batches)
     holdout_rows = int(len(dataset) * data_cfg.holdout_fraction)
+    if holdout_rows and holdout_rows < global_batch * process_count:
+        # a partial holdout would be silently topped up with trained rows by
+        # the unshuffled-prefix eval stream — fail fast instead
+        raise ValueError(
+            f"holdout_fraction={data_cfg.holdout_fraction} reserves only "
+            f"{holdout_rows} of {len(dataset)} rows but one eval batch needs "
+            f"{global_batch * process_count}; raise holdout_fraction or "
+            "shrink the batch"
+        )
     n_train_rows = len(dataset) - holdout_rows
     steps_per_epoch = max(1, n_train_rows // (global_batch * process_count))
     total_steps = int(steps_per_epoch * float(cfg.training.num_epochs))

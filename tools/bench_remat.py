@@ -66,36 +66,65 @@ def _measure(cfg, batch_size, max_tokens, steps=10):
         return {"error": ("OOM" if "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower() else msg[:200])}
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--out", default=str(Path(__file__).parent / "remat_bench.json"))
-    args = ap.parse_args()
+def _cases():
+    import dataclasses
 
-    import jax
-
-    jax.config.update("jax_default_prng_impl", "rbg")
     from __graft_entry__ import _flagship_config
-    from adt_str_tpu.utils.misc import enable_persistent_compilation_cache
-
-    enable_persistent_compilation_cache()
 
     flagship = _flagship_config()
     # a model large enough that stored activations matter at these batch
     # sizes: 2x width, 3x depth of setting-1 (d_model=1536, 12+12 layers)
     big = dataclasses.replace(flagship, enc_layers=12, dec_layers=12, d_query=256)
+    return {
+        "flagship_bs64": (flagship, 64, 256),
+        "flagship_bs256": (flagship, 256, 256),
+        "big_bs64": (big, 64, 256),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--out", default=str(Path(__file__).parent / "remat_bench.json"))
+    # internal: run ONE case in this process. peak_bytes_in_use is a
+    # process-cumulative high-water mark, so cases must not share a process —
+    # the second case's "peak" would include the first's (a remat=True run
+    # after a remat=False run could never report a lower peak).
+    ap.add_argument("--case", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from adt_str_tpu.utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    if args.case:
+        name, remat = args.case.rsplit(":", 1)
+        base_cfg, bs, toks = _cases()[name]
+        cfg = dataclasses.replace(base_cfg, remat=bool(int(remat)))
+        print("RESULT " + json.dumps(_measure(cfg, bs, toks, steps=args.steps)))
+        return
+
+    import subprocess
 
     results: dict = {"device": str(jax.devices()[0])}
-    cases = [
-        ("flagship_bs64", flagship, 64, 256),
-        ("flagship_bs256", flagship, 256, 256),
-        ("big_bs64", big, 64, 256),
-    ]
-    for name, base_cfg, bs, toks in cases:
+    for name in _cases():
         for remat in (False, True):
-            cfg = dataclasses.replace(base_cfg, remat=remat)
             tag = f"{name}_remat{int(remat)}"
-            results[tag] = _measure(cfg, bs, toks, steps=args.steps)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--steps", str(args.steps), "--case", f"{name}:{int(remat)}"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")), None
+            )
+            if line is None:
+                results[tag] = {"error": (proc.stderr or "no output")[-200:]}
+            else:
+                results[tag] = json.loads(line[len("RESULT "):])
             print(tag, results[tag], flush=True)
 
     Path(args.out).write_text(json.dumps(results, indent=2))
