@@ -329,7 +329,7 @@ def render_batch_arrays(
     fx_fn = lambda w, k: random_fx_chain(
         w, sample_rate, k, use_reverb_prob, use_compression_prob, use_limiter_prob
     )
-    p_fx = float(use_fx_prob)
+    p_fx = min(max(float(use_fx_prob), 0.0), 1.0)  # out-of-range p: clamp, not nan
     budget = min(
         B, int(np.ceil(B * p_fx + 6.0 * np.sqrt(B * p_fx * (1.0 - p_fx)))) if p_fx > 0 else 0
     )

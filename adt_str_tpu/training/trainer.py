@@ -208,9 +208,16 @@ def train(cfg: FrameworkConfig) -> TrainState:
     # holdout_fraction reserves the dataset prefix for in-training eval;
     # those rows never enter shuffled training epochs (datasets._epoch_batches)
     holdout_rows = int(len(dataset) * data_cfg.holdout_fraction)
-    if holdout_rows and holdout_rows < global_batch * process_count:
-        # a partial holdout would be silently topped up with trained rows by
-        # the unshuffled-prefix eval stream — fail fast instead
+    if (
+        data_cfg.holdout_fraction > 0
+        and cfg.logging.eval_every_n_steps
+        and holdout_rows < global_batch * process_count
+    ):
+        # a partial (or int-truncated-to-zero) holdout would be silently
+        # topped up with trained rows by the unshuffled-prefix eval stream —
+        # fail fast instead. Without in-training eval the reserved rows are
+        # merely excluded from training (e.g. for offline eval), which stays
+        # valid at any size.
         raise ValueError(
             f"holdout_fraction={data_cfg.holdout_fraction} reserves only "
             f"{holdout_rows} of {len(dataset)} rows but one eval batch needs "

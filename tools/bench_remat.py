@@ -67,8 +67,6 @@ def _measure(cfg, batch_size, max_tokens, steps=10):
 
 
 def _cases():
-    import dataclasses
-
     from __graft_entry__ import _flagship_config
 
     flagship = _flagship_config()
@@ -93,38 +91,49 @@ def main() -> None:
     ap.add_argument("--case", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    import jax
-
-    jax.config.update("jax_default_prng_impl", "rbg")
-    from adt_str_tpu.utils.misc import enable_persistent_compilation_cache
-
-    enable_persistent_compilation_cache()
-
     if args.case:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
+        from adt_str_tpu.utils.misc import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
         name, remat = args.case.rsplit(":", 1)
         base_cfg, bs, toks = _cases()[name]
         cfg = dataclasses.replace(base_cfg, remat=bool(int(remat)))
-        print("RESULT " + json.dumps(_measure(cfg, bs, toks, steps=args.steps)))
+        result = _measure(cfg, bs, toks, steps=args.steps)
+        result["device"] = str(jax.devices()[0])
+        print("RESULT " + json.dumps(result))
         return
 
+    # The parent must NOT touch the jax backend: on a single-TPU host the
+    # parent would hold the chip and every per-case child (needed because
+    # peak_bytes_in_use is process-cumulative) would fail to acquire it.
     import subprocess
 
-    results: dict = {"device": str(jax.devices()[0])}
+    results: dict = {}
     for name in _cases():
         for remat in (False, True):
             tag = f"{name}_remat{int(remat)}"
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--steps", str(args.steps), "--case", f"{name}:{int(remat)}"],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = next(
-                (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")), None
-            )
-            if line is None:
-                results[tag] = {"error": (proc.stderr or "no output")[-200:]}
-            else:
-                results[tag] = json.loads(line[len("RESULT "):])
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--steps", str(args.steps), "--case", f"{name}:{int(remat)}"],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")),
+                    None,
+                )
+                if line is None:
+                    results[tag] = {"error": (proc.stderr or "no output")[-200:]}
+                else:
+                    results[tag] = json.loads(line[len("RESULT "):])
+            except subprocess.TimeoutExpired:
+                results[tag] = {"error": "timeout after 1800s"}
+            dev = results[tag].pop("device", None)
+            if dev and "device" not in results:
+                results["device"] = dev
             print(tag, results[tag], flush=True)
 
     Path(args.out).write_text(json.dumps(results, indent=2))
