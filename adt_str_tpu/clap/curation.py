@@ -66,8 +66,9 @@ def encode_files(
     sample_rate: int,
     batch_size: int,
     num_workers: int | None = None,
-) -> np.ndarray:
-    """Batched CLAP embedding of audio files -> (N, 512).
+    skip_errors: bool = True,
+) -> tuple[np.ndarray, list[str]]:
+    """Batched CLAP embedding of audio files -> ((K, 512), kept_files).
 
     Replaces the reference's serial per-file loop
     (`augment_data_with_CLAP.py:124-137`). With more than one host core
@@ -78,6 +79,14 @@ def encode_files(
     workers=1, tools/curation_bench.json round 2), so `num_workers <= 1`
     degrades to the plain serial loop — which is also what the default
     resolves to there.
+
+    Robustness/perf properties a 1M-sample curation run needs:
+    - unreadable files are logged and skipped (K <= N, alignment carried by
+      the returned `kept_files`) instead of aborting hours of encoding;
+      `skip_errors=False` restores raise-on-first-error;
+    - every device batch is padded with silence rows to exactly
+      `batch_size`, so the Swin tower compiles ONCE — a ragged final (or
+      post-skip) batch would otherwise trigger a multi-minute recompile.
     """
     import os
     from collections import deque
@@ -87,45 +96,89 @@ def encode_files(
         num_workers = min(16, os.cpu_count() or 1)
 
     def load(f):
-        return normalize(load_and_resample(f, sample_rate))
+        try:
+            return normalize(load_and_resample(f, sample_rate))
+        except Exception as e:  # noqa: BLE001 - corrupt wavs are expected at scale
+            if not skip_errors:
+                raise
+            logger.warning("skipping unreadable %s: %s", f, e)
+            return None
 
-    out = []
+    out: list[np.ndarray] = []
+    kept: list[str] = []
     n = len(files)
-    if num_workers <= 1:
-        for i in range(0, n, batch_size):
-            batch = [load(f) for f in files[i : i + batch_size]]
-            out.append(wrapper.get_audio_features(batch))
-            if (i // batch_size) % 50 == 0:
-                logger.info("encoded %d/%d", min(i + batch_size, n), n)
-        return np.concatenate(out, axis=0)
 
-    prefetch = batch_size * 3  # decode up to 3 batches ahead of the device
-    with ThreadPoolExecutor(num_workers) as pool:
-        futs: deque = deque()
-        idx = 0
-        done = 0
-        while idx < n or futs:
-            while idx < n and len(futs) < prefetch:
-                futs.append(pool.submit(load, files[idx]))
-                idx += 1
-            batch = [futs.popleft().result() for _ in range(min(batch_size, len(futs)))]
-            out.append(wrapper.get_audio_features(batch))
-            done += len(batch)
-            if (done // batch_size) % 50 == 0:
-                logger.info("encoded %d/%d", done, n)
-    return np.concatenate(out, axis=0)
+    def encode(waves: list[np.ndarray], names: list[str]) -> None:
+        if not waves:
+            return
+        pad_rows = batch_size - len(waves)
+        padded = list(waves) + [np.zeros(1024, np.float32)] * pad_rows
+        emb = wrapper.get_audio_features(padded)
+        out.append(np.asarray(emb)[: len(waves)])
+        kept.extend(names)
+        if (len(kept) // batch_size) % 50 == 0:
+            logger.info("encoded %d/%d", len(kept), n)
+
+    if num_workers <= 1:
+        waves, names = [], []
+        for f in files:
+            w = load(f)
+            if w is None:
+                continue
+            waves.append(w)
+            names.append(f)
+            if len(waves) == batch_size:
+                encode(waves, names)
+                waves, names = [], []
+        encode(waves, names)
+    else:
+        prefetch = batch_size * 3  # decode up to 3 batches ahead of the device
+        with ThreadPoolExecutor(num_workers) as pool:
+            futs: deque = deque()
+            idx = 0
+            waves, names = [], []
+            while idx < n or futs:
+                while idx < n and len(futs) < prefetch:
+                    futs.append((pool.submit(load, files[idx]), files[idx]))
+                    idx += 1
+                while futs and len(waves) < batch_size:
+                    fut, name = futs.popleft()
+                    w = fut.result()
+                    if w is None:
+                        continue
+                    waves.append(w)
+                    names.append(name)
+                if len(waves) == batch_size or (not futs and idx >= n):
+                    encode(waves, names)
+                    waves, names = [], []
+    if not out:
+        return np.zeros((0, 512), np.float32), []
+    return np.concatenate(out, axis=0), kept
 
 
 def reference_class_means(
     wrapper, reference_root: str, sample_rate: int, batch_size: int
 ) -> tuple[np.ndarray, list[int]]:
     """-> (C, 512) per-class mean embeddings + class labels (non-empty only)."""
-    files = sort_paths_by_parent_folder(
+    all_files = sort_paths_by_parent_folder(
         glob(f"{reference_root}/**/*.[Ww][Aa][Vv]", recursive=True)
     )
+    # keep only wavs whose parent dir is a known reference class BEFORE the
+    # expensive embedding pass — stray files (docs/, 'extra/', unknown
+    # numeric dirs) are warned about, not crashed on
+    files = []
+    for f in all_files:
+        try:
+            cls = int(Path(f).parent.name)
+        except ValueError:
+            cls = None
+        if cls in REFERENCE_CLASSES:
+            files.append(f)
+        else:
+            logger.warning("ignoring non-reference-class wav %s", f)
     if not files:
         raise RuntimeError("No reference embeddings found. Please check reference_root.")
-    embeds = encode_files(wrapper, files, sample_rate, batch_size)
+    embeds, files = encode_files(wrapper, files, sample_rate, batch_size)
     by_class: dict[int, list[np.ndarray]] = {k: [] for k in REFERENCE_CLASSES}
     for f, e in zip(files, embeds):
         by_class[int(Path(f).parent.name)].append(e)
@@ -186,7 +239,7 @@ def curate_library(
     class_means, labels = reference_class_means(
         wrapper, reference_root, sample_rate, batch_size
     )
-    sample_embeds = encode_files(wrapper, wav_files, sample_rate, batch_size)
+    sample_embeds, wav_files = encode_files(wrapper, wav_files, sample_rate, batch_size)
     best_idx, best_score = assign_classes(sample_embeds, class_means, mesh)
 
     augmented_root = Path(f"{reference_root}_clap_augmented")

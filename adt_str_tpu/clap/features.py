@@ -136,17 +136,16 @@ class ClapFeatureExtractor:
             crops = [mel[i : i + chunk_frames] for i in idxs]
             shrink = _bilinear_resize(mel, chunk_frames, N_MELS)
             return np.stack([shrink, *crops]), True
-        # repeatpad + zero pad
-        if len(waveform) < MAX_SAMPLES:
-            n_repeat = int(MAX_SAMPLES / len(waveform))
-            waveform = np.tile(waveform, max(n_repeat, 1))
-            waveform = np.pad(waveform, (0, MAX_SAMPLES - len(waveform)))
-        mel = _log_mel_db(waveform, self.fb)
+        mel = _log_mel_db(self._pad_short(waveform), self.fb)
         return np.stack([mel] * 4), False
 
     def _pad_short(self, waveform: np.ndarray) -> np.ndarray:
-        """repeatpad + zero pad to 10 s (short-audio branch of `_one`)."""
+        """repeatpad + zero pad to 10 s (short-audio branch of `_one`; the
+        single home of this bit-critical padding for both host and device
+        paths)."""
         waveform = np.asarray(waveform, dtype=np.float64).reshape(-1)
+        if len(waveform) == 0:  # zero-length input: silence, not a crash
+            return np.zeros(MAX_SAMPLES)
         if len(waveform) < MAX_SAMPLES:
             n_repeat = int(MAX_SAMPLES / len(waveform))
             waveform = np.tile(waveform, max(n_repeat, 1))

@@ -140,16 +140,19 @@ class TMIDTTextParser(DrumTextParser):
         for audio_file in self.audio_data_files:
             audio_id = Path(audio_file).name
             notes = []
-            with open(self._annotation_file(audio_file)) as f:
-                for line in f:
-                    content = line.split()
-                    if content:
-                        start, label = float(content[0]), int(content[1])
-                        notes.append(
-                            [start, start + 0.1, TMIDT_TO_STANDARD_MIDI[label], 100]
-                        )
-            notes = sorted(notes, key=lambda x: (x[0], x[1]))
             try:
+                # annotation parse sits INSIDE the skip-on-error scope: one
+                # malformed line (non-numeric field, unknown label) skips the
+                # file, it must not abort the whole dataset conversion
+                with open(self._annotation_file(audio_file)) as f:
+                    for line in f:
+                        content = line.split()
+                        if content:
+                            start, label = float(content[0]), int(content[1])
+                            notes.append(
+                                [start, start + 0.1, TMIDT_TO_STANDARD_MIDI[label], 100]
+                            )
+                notes = sorted(notes, key=lambda x: (x[0], x[1]))
                 audio = load_and_resample(audio_file, self.shared.sample_rate)
                 audio_chunks, notes_chunks = self.segmenter.chunk_audio_and_notes(
                     audio, np.array(notes, dtype=np.float32).reshape(-1, 4)
@@ -268,7 +271,11 @@ class ENSTDrumTextParser(DrumTextParser):
                 f for f in self.audio_data_files if any(d in f for d in names)
             ]
         self.audio_data_files.sort()
-        self.chunk_size_bytes = 8196 * 1024 * 1024
+        # divergence: the reference pins ENST's flush threshold to
+        # 8196 MB (text_parser.py:322, likely an 8192 typo) which in practice
+        # buffers the whole dataset in RAM before one giant parquet write;
+        # the configured chunk_size_mb is honored instead — flush boundaries
+        # only change file sizes, never the concatenated dataset contents
 
     @staticmethod
     def _path_part(path: str, needle: str) -> str:

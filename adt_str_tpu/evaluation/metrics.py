@@ -47,7 +47,14 @@ def compute_per_label_metrics(
 ) -> dict:
     """Accumulate per-ADTOF-class TP/FN/FP (`compute_per_label_metrics`,
     eval.py:276-305). FP suppression applies only when the *full* reference is
-    empty, not per-label slices."""
+    empty, not per-label slices.
+
+    Parity note: the ADTOF class table is used UNCONDITIONALLY, exactly like
+    the reference (`eval.py:287` instantiates `ADTOF_label_mapping` regardless
+    of the tokenizer mode) — with a GM-mode tokenizer, notes on GM-custom
+    pitches outside the 8 ADTOF classes fall out of every per-label bucket
+    and e.g. GM 48 is reported under "CY + RD". The aggregate "all" row and
+    the confusion matrix (which does switch tables) are unaffected."""
     exclude_fp_for_slices = exclude_ref_empty and len(gt_notes) == 0
     pred_notes = np.asarray(pred_notes).reshape(-1, 4) if len(pred_notes) else np.zeros((0, 4))
     gt_notes = np.asarray(gt_notes).reshape(-1, 4) if len(gt_notes) else np.zeros((0, 4))

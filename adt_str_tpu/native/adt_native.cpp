@@ -182,7 +182,9 @@ static PyObject* match_notes(PyObject*, PyObject* args) {
     for (int j = 0; j < nr; ++j) {
       if (std::fabs(ref_on[i] - est_on[j]) > onset_tol) continue;
       double cents = 1200.0 * std::fabs(std::log2(est_pi[j] / ref_pi[i]));
-      if (cents > pitch_tol_cents) continue;
+      // NaN-safe: `cents > tol` is false for NaN (0/0 pitch ratio) and would
+      // keep the pair; the numpy oracle's `cents <= tol` rejects it
+      if (!(cents <= pitch_tol_cents)) continue;
       hk.adj[i].push_back(j);
     }
   }

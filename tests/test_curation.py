@@ -127,3 +127,45 @@ def test_curate_library_end_to_end(library_tree, tmp_path):
     assert set(bank.pitches()) == {35, 42}
     assert bank.bin_count[35, 0] == 1  # gold
     assert bank.bin_count.sum() == 5
+
+
+def test_curation_robust_to_corrupt_and_stray_files(library_tree, tmp_path):
+    """A 1M-sample run must not abort on one bad file: corrupt wavs are
+    skipped with a warning, stray dirs in the reference tree are ignored
+    before the embedding pass (self-review round 3)."""
+    ref, lib = library_tree
+    stray = ref / "extra"
+    stray.mkdir()
+    write_wav(stray / "x.wav", tone(500), SR)
+    unknown = ref / "90"  # numeric but not a reference class
+    unknown.mkdir()
+    write_wav(unknown / "y.wav", tone(500), SR)
+    (lib / "corrupt.wav").write_bytes(b"RIFFnotawav" * 3)
+
+    out_root = curate_library(
+        StubWrapper(), str(lib), str(ref), sample_rate=SR, batch_size=2
+    )
+    copied = sorted(p.name for p in out_root.rglob("*.wav"))
+    assert "corrupt.wav" not in copied
+    assert {"high1.wav", "low1.wav", "low2.wav"} <= set(copied)
+    assert not list(out_root.rglob("x.wav")) and not list(out_root.rglob("y.wav"))
+
+
+def test_encode_files_pads_batches_and_reports_kept(library_tree):
+    """Every device batch is padded to a single static batch size (one
+    compile) and kept_files carries the skip-aware alignment."""
+    from adt_str_tpu.clap.curation import encode_files
+
+    _, lib = library_tree
+    seen_sizes = set()
+
+    class SizeSpy(StubWrapper):
+        def get_audio_features(self, audios):
+            seen_sizes.add(len(audios))
+            return super().get_audio_features(audios)
+
+    files = sorted(str(p) for p in lib.glob("*.wav"))  # 3 files, bs=2
+    emb, kept = encode_files(SizeSpy(), files, SR, batch_size=2)
+    assert seen_sizes == {2}
+    assert kept == files
+    assert emb.shape[0] == 3

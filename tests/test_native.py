@@ -61,3 +61,23 @@ def test_match_parity_cardinality(rng):
         # every returned pair is feasible
         for a, b in got:
             assert feasible[a, b]
+
+
+def test_match_nan_pitch_ratio_rejected():
+    """A 0/0 pitch ratio gives NaN cents: mir_eval's `cents <= tol` rejects
+    the pair. The native path must agree (a bare `cents > tol` is false for
+    NaN and silently kept the pair — regression, self-review round 3)."""
+    from adt_str_tpu.ops.matching import match_notes
+
+    ref_iv = np.array([[0.0, 0.1]])
+    est_iv = np.array([[0.01, 0.11]])
+    zero = np.array([0.0])
+    got = match_notes(ref_iv, zero, est_iv, zero,
+                      onset_tolerance=0.05, pitch_tolerance=1.0)
+    assert got == []
+    mod = native()
+    if mod is not None:
+        got_native = mod.match_notes(
+            ref_iv[:, 0], zero, est_iv[:, 0], zero, 0.05, 1.0
+        )
+        assert list(got_native) == []

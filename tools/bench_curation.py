@@ -192,11 +192,11 @@ def main() -> None:
 
         # --- stage 4: end-to-end pipelined encode_files
         t0 = time.perf_counter()
-        embeds = encode_files(wrapper, files, SR, args.batch_size)
+        embeds, kept = encode_files(wrapper, files, SR, args.batch_size)
         dt = time.perf_counter() - t0
         results["e2e_encode_files_per_s"] = len(files) / dt
         print(f"e2e pipelined encode:  {len(files)/dt:9.1f} files/s")
-        assert embeds.shape == (len(files), 512)
+        assert embeds.shape == (len(files), 512) and kept == list(files)
 
         # --- stage 5: assignment matmul at 1M. In production the U embeddings
         # are *produced* on device by the encode stage, so score them where
