@@ -303,8 +303,11 @@ def collate(
     batch = {
         key: np.stack([e[key] for e in examples]) for key in examples[0]
     }
-    lengths = batch["token_lengths"].astype(np.int64)
-    batch["token_lengths"] = lengths - (lengths == lengths.max()).astype(np.int64)
+    from adt_str_tpu.models.adt import collate_token_lengths
+
+    batch["token_lengths"] = np.asarray(
+        collate_token_lengths(batch["token_lengths"].astype(np.int64))
+    )
     if trim:
         batch = trim_token_bucket(trim_note_bucket(batch), pad_token=pad_token)
     return batch

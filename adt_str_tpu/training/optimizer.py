@@ -111,7 +111,18 @@ def decay_mask(params: Any) -> Any:
 def make_optimizer(
     config: TrainingConfig, total_steps: int, params: Any
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    schedule = make_schedule(config, total_steps)
+    """`total_steps` is in TRAINER micro-steps (one per batch). The LR
+    schedule is built in *optimizer updates* like HF's (the scheduler steps
+    once per accumulation window, Trainer.global_step): under MultiSteps the
+    inner AdamW count advances once per window, so a micro-step schedule
+    would stretch warmup k-fold and finish only 1/k of the decay. The
+    returned schedule takes micro-steps (what the trainer logs with) and
+    maps them to the applied update-space LR."""
+    if config.optim not in ("adamw", "adamw_torch", "adamw_hf", "adamw_torch_fused"):
+        # fail fast instead of silently training with AdamW anyway
+        raise ValueError(f"unsupported optim: {config.optim!r} (AdamW variants only)")
+    accum = max(1, int(config.gradient_accumulation_steps))
+    schedule = make_schedule(config, max(1, total_steps // accum))
     tx = optax.chain(
         optax.clip_by_global_norm(float(config.max_grad_norm)),
         optax.adamw(
@@ -123,6 +134,7 @@ def make_optimizer(
             mask=decay_mask(params),
         ),
     )
-    if config.gradient_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, accum)
+        return tx, lambda step: schedule(jnp.asarray(step) // accum)
     return tx, schedule

@@ -2,6 +2,7 @@
 virtual 8-device CPU mesh and matches the single-device result."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -425,3 +426,49 @@ def test_remat_grads_match_plain():
     flat_b = jax.tree.leaves(grads[True][1])
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_gradient_accumulation_schedule_in_update_space():
+    """The LR schedule under MultiSteps must advance once per accumulation
+    WINDOW (HF: scheduler steps per optimizer update, not per micro-batch).
+    With a micro-step schedule, warmup ran k-times too long and decay covered
+    1/k of its range (self-review round 3). 2k micro-steps at accum=k must
+    reproduce k big-batch steps under a warming-up schedule, and the logged
+    schedule must equal the applied one."""
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    full = make_uniform_batch(cfg, B=8)
+    kw = dict(learning_rate=1e-3, warmup_ratio=0.5, weight_decay=1e-5,
+              max_grad_norm=1.0, lr_scheduler_type="cosine")
+    # accum path: 4 micro-steps == 2 updates; plain path: 2 updates
+    tx_a, sched_a = make_optimizer(
+        TrainingConfig(gradient_accumulation_steps=2, **kw),
+        total_steps=4, params=params,
+    )
+    tx_b, sched_b = make_optimizer(TrainingConfig(**kw), total_steps=2, params=params)
+    # the logged (micro-step) schedule equals the applied (update) one
+    for micro in range(4):
+        np.testing.assert_allclose(
+            float(sched_a(micro)), float(sched_b(micro // 2)), rtol=1e-6
+        )
+
+    step_a = make_train_step(cfg, tx_a)
+    step_b = make_train_step(cfg, tx_b)
+    rng = jax.random.PRNGKey(1)
+    sa = init_train_state(jax.tree.map(jnp.copy, params), tx_a)
+    for lo, hi in [(0, 4), (4, 8), (0, 4), (4, 8)]:
+        sa, _ = step_a(sa, _split(full, lo, hi), rng)
+    sb = init_train_state(jax.tree.map(jnp.copy, params), tx_b)
+    for _ in range(2):
+        sb, _ = step_b(sb, full, rng)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=0)
+
+
+def test_unsupported_optim_rejected():
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="unsupported optim"):
+        make_optimizer(
+            TrainingConfig(optim="adafactor"), total_steps=10, params=params
+        )
