@@ -85,3 +85,32 @@ class Segmenter:
             for c in range(n_chunks):
                 notes_chunks[c] = rebased[keep & (on_idx == c)].reshape(-1, 4)
         return audio_chunks, notes_chunks
+
+
+def chunk_wave(
+    wave: np.ndarray, chunk_samples: int, hop_samples: int | None = None
+) -> list[tuple[int, np.ndarray, int]]:
+    """1-D wave -> [(start_sample, chunk, true_len)] — the one audio-only
+    chunker behind `inference.py:transcribe` and the YouTube pipeline.
+
+    Every chunk is zero-padded to `chunk_samples` (inference convention,
+    reference `inference.py:42-46`); `hop_samples` < `chunk_samples` gives
+    overlapping chunks (reference `youtube_drum_pipeline.py:93-112`);
+    `true_len` is the pre-pad sample count so callers can skip stub tails.
+    An empty wave yields one silent chunk (a transcription request always
+    decodes at least once)."""
+    wave = np.asarray(wave, dtype=np.float32).reshape(-1)
+    hop = hop_samples or chunk_samples
+    out: list[tuple[int, np.ndarray, int]] = []
+    start = 0
+    n = len(wave)
+    while start < n:
+        piece = wave[start : start + chunk_samples]
+        true_len = len(piece)
+        if true_len < chunk_samples:
+            piece = np.pad(piece, (0, chunk_samples - true_len))
+        out.append((start, piece, true_len))
+        start += hop
+    if not out:
+        out.append((0, np.zeros(chunk_samples, np.float32), 0))
+    return out

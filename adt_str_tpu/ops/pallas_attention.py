@@ -135,7 +135,13 @@ def _bwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_attention(q, k, v, mask=None, interpret: bool = False):
     """(B, H, T, D) fused scaled-dot-product attention with optional additive
-    (B, T, T) mask shared over heads. T % 8 == 0, D % 128 == 0."""
+    (B, T, T) mask shared over heads. T % 8 == 0, D % 128 == 0.
+
+    CONTRACT: `mask` must not be parameter-dependent — the custom VJP returns
+    a ZERO cotangent for it (this model's masks are pure functions of lengths
+    / causal structure). Routing a learned additive bias (relative-position,
+    ALiBi, ...) through `mask` would train silently with zero gradient;
+    compute the true gradient (sum of dS over heads) in _vjp_bwd first."""
     scale = 1.0 / math.sqrt(q.shape[-1])
     out, _ = _fwd(q, k, v, mask, scale, interpret)
     return out

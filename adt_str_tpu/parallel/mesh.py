@@ -53,10 +53,11 @@ def maybe_initialize_distributed() -> None:
     addr = os.environ.get("COORDINATOR_ADDRESS")
     if not (addr or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
         return
+    nproc = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    explicit = bool(addr and nproc is not None and pid is not None)
     try:
-        nproc = os.environ.get("NUM_PROCESSES")
-        pid = os.environ.get("PROCESS_ID")
-        if addr and nproc is not None and pid is not None:
+        if explicit:
             jax.distributed.initialize(
                 coordinator_address=addr,
                 num_processes=int(nproc),
@@ -64,8 +65,18 @@ def maybe_initialize_distributed() -> None:
             )
         else:
             jax.distributed.initialize()
-    except Exception as e:  # pragma: no cover
-        import logging
+    except Exception as e:
+        if explicit:
+            # An explicitly configured cluster that fails to form must NOT
+            # silently degrade to single-host: every host would train an
+            # identical independent job and clobber the shared checkpoints.
+            # (The classic cause: a backend query ran before this call.)
+            raise RuntimeError(
+                "jax.distributed.initialize failed despite an explicit "
+                "cluster env (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID "
+                f"set): {e}"
+            ) from e
+        import logging  # pragma: no cover - auto-detect miss is best-effort
 
         logging.getLogger(__name__).warning("jax.distributed.initialize failed: %s", e)
 

@@ -10,6 +10,7 @@ pretty_midi (absent in this image).
 from __future__ import annotations
 
 import glob
+import logging
 import os
 from pathlib import Path
 from typing import Optional
@@ -53,8 +54,11 @@ def get_oneshot_waveform(
     if wavs:
         try:
             wave = load_and_resample(wavs[0], sample_rate).astype(np.float32)
-        except Exception:
-            wave = None
+        except Exception as e:  # noqa: BLE001
+            # do NOT cache a load failure (it may be transient) — only log;
+            # a cached None would silently mute this pitch for the process
+            logging.getLogger(__name__).warning("one-shot load failed %s: %s", wavs[0], e)
+            return None
     _oneshot_cache[key] = wave
     return wave
 

@@ -143,17 +143,25 @@ def read_midi(path: str | Path) -> list[MidiInstrument]:
     instruments: dict[tuple[int, int, int], MidiInstrument] = {}
     for ti, track in enumerate(tracks):
         program_by_channel = dict.fromkeys(range(16), 0)
-        open_notes: dict[tuple[int, int], tuple[int, int]] = {}
+        # pretty_midi semantics: multiple overlapping note-ons of the same
+        # (channel, pitch) all stay open, and ONE note-off closes every open
+        # note except those starting exactly at the off tick (a dict of
+        # single slots would overwrite earlier note-ons and silently drop
+        # drum hits from dense Lakh tracks)
+        open_notes: dict[tuple[int, int], list[tuple[int, int]]] = {}
         for tick, kind, channel, a, b in sorted(track, key=lambda e: e[0]):
             if kind == 0xC:
                 program_by_channel[channel] = a
             elif kind == 0x9 and b > 0:
-                open_notes[(channel, a)] = (tick, b)
+                open_notes.setdefault((channel, a), []).append((tick, b))
             elif kind == 0x8 or (kind == 0x9 and b == 0):
-                start = open_notes.pop((channel, a), None)
-                if start is None:
+                stack = open_notes.get((channel, a))
+                if not stack:
                     continue
-                start_tick, velocity = start
+                closing = [s for s in stack if s[0] != tick]
+                if not closing:
+                    continue
+                stack[:] = [s for s in stack if s[0] == tick]
                 key = (ti, channel, program_by_channel[channel])
                 inst = instruments.setdefault(
                     key,
@@ -162,9 +170,11 @@ def read_midi(path: str | Path) -> list[MidiInstrument]:
                         is_drum=channel == DRUM_CHANNEL,
                     ),
                 )
-                inst.notes.append(
-                    [tick_to_sec(start_tick), tick_to_sec(tick), float(a), float(velocity)]
-                )
+                end_sec = tick_to_sec(tick)
+                for start_tick, velocity in closing:
+                    inst.notes.append(
+                        [tick_to_sec(start_tick), end_sec, float(a), float(velocity)]
+                    )
     return list(instruments.values())
 
 

@@ -58,8 +58,6 @@ def main(cfg: FrameworkConfig, exclude_ref_empty: bool = False):
     # global batch's rows across processes (harness.run_inference)
     import jax
 
-    from adt_str_tpu.parallel import mesh as mesh_lib
-
     mesh = None
     if len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)

@@ -35,13 +35,13 @@ from adt_str_tpu.utils.midi_io import write_midi
 
 
 def chunk_audio(wave: np.ndarray, chunk_samples: int) -> tuple[np.ndarray, np.ndarray]:
-    """1-D wave -> (chunks (N, chunk_samples) zero-padded, start_samples (N,))."""
-    n = len(wave)
-    starts = np.arange(0, max(n, 1), chunk_samples)
-    chunks = np.zeros((len(starts), chunk_samples), dtype=np.float32)
-    for i, s in enumerate(starts):
-        seg = wave[s : s + chunk_samples]
-        chunks[i, : len(seg)] = seg
+    """1-D wave -> (chunks (N, chunk_samples) zero-padded, start_samples (N,));
+    thin view over the canonical chunker (domain.segmenter.chunk_wave)."""
+    from adt_str_tpu.domain.segmenter import chunk_wave
+
+    triples = chunk_wave(wave, chunk_samples)
+    chunks = np.stack([c for _, c, _ in triples])
+    starts = np.array([s for s, _, _ in triples])
     return chunks, starts
 
 
@@ -104,6 +104,18 @@ def main() -> None:
     input_stem = Path(args.input_path).stem
 
     cfg = FrameworkConfig.from_yaml(args.config_path)
+    # validate everything the run needs BEFORE the (possibly minutes-long)
+    # transcription: a missing section must not surface as an AttributeError
+    # at the end of the pipeline
+    if cfg.inference is None or not cfg.inference.checkpoint_path:
+        raise SystemExit(
+            "config needs an `inference:` section with `checkpoint_path` set"
+        )
+    if args.synthetise_transcription and cfg.synthetiser is None:
+        raise SystemExit(
+            "-s/--synthetise_transcription needs a `synthetiser:` section "
+            "(oneshot_path etc.) in the config"
+        )
     params = load_params_from_reference_checkpoint(cfg.inference.checkpoint_path)
     tokenizer = MidiTokenizer(cfg.tokenizer)
 

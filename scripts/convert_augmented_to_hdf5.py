@@ -2,7 +2,12 @@
 `data_modules/convert_augmented_to_hdf5.py`).
 
 Usage: python scripts/convert_augmented_to_hdf5.py <input_root> <output_prefix>
-       [--sample_rate 24000] [--overwrite]
+       [--sample_rate 44100] [--overwrite]
+
+The default sample rate mirrors the reference CLI (44100,
+convert_augmented_to_hdf5.py:44). NOTE: training/inference open the bank at
+`<oneshot_path>@<shared.sample_rate>.hdf5` — for the setting-1 pipeline pass
+`--sample_rate 24000` explicitly or the bank will not be found at train time.
 """
 
 import argparse

@@ -58,18 +58,15 @@ def download_youtube(url: str, out_dir: Path) -> Path:
 
 
 def chunk_audio(wav: np.ndarray, chunk_samples: int, hop_samples: int | None = None):
-    """(start, chunk) pairs with overlap support (youtube_drum_pipeline.py:93-112)."""
-    hop_samples = hop_samples or chunk_samples
-    out = []
-    start = 0
-    n = len(wav)
-    while start < n:
-        piece = wav[start : start + chunk_samples]
-        if len(piece) < chunk_samples:
-            piece = np.pad(piece, (0, chunk_samples - len(piece)))
-        out.append((start, piece))
-        start += hop_samples
-    return out
+    """(start, chunk, true_len) triples with overlap support
+    (youtube_drum_pipeline.py:93-112); delegates to the canonical chunker.
+    `true_len` is the unpadded sample count — the reference's
+    `min_audio_samples` skip tests `numel()` AFTER zero-padding (`:136`,
+    always chunk_samples, dead code); the pre-pad length makes its evident
+    intent implementable."""
+    from adt_str_tpu.domain.segmenter import chunk_wave
+
+    return chunk_wave(wav, chunk_samples, hop_samples)
 
 
 def run_model_on_chunks(
@@ -83,9 +80,11 @@ def run_model_on_chunks(
     sr = cfg.shared.sample_rate
     chunk_samples = cfg.shared.chunk_samples
     hop_samples = int(hop_sec * sr) if hop_sec else None
+    # skip stub tail chunks with almost no real audio (reference intent;
+    # its own check ran on the post-pad length and could never fire)
     pairs = [
-        (s, c) for s, c in chunk_audio(wav, chunk_samples, hop_samples)
-        if np.abs(c).max() > 0 or len(c) >= min_audio_samples
+        (s, c) for s, c, true_len in chunk_audio(wav, chunk_samples, hop_samples)
+        if true_len >= min_audio_samples
     ]
     if not pairs:
         return np.zeros((0, 4), dtype=np.float32)

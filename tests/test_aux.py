@@ -85,11 +85,13 @@ def test_youtube_pipeline_helpers():
 
     wav = np.ones(2500, dtype=np.float32)
     pairs = chunk_audio(wav, 1000)
-    assert [s for s, _ in pairs] == [0, 1000, 2000]
-    assert all(len(c) == 1000 for _, c in pairs)
+    assert [s for s, _, _ in pairs] == [0, 1000, 2000]
+    assert all(len(c) == 1000 for _, c, _ in pairs)
+    # true (pre-pad) lengths drive the min_audio_samples skip
+    assert [t for _, _, t in pairs] == [1000, 1000, 500]
     # overlap hop
     pairs = chunk_audio(wav, 1000, 500)
-    assert [s for s, _ in pairs][:3] == [0, 500, 1000]
+    assert [s for s, _, _ in pairs][:3] == [0, 500, 1000]
 
     rng = np.random.default_rng(0)
     notes = np.array([[0.0, 0.1, 42, 100], [0.2, 0.3, 61, 90]], dtype=np.float32)
@@ -97,3 +99,28 @@ def test_youtube_pipeline_helpers():
     # HH class maps to one of its members; 61 ("Other") members are 53-60 so it
     # stays only if within 35-60
     assert (out[:, 2] >= 35).all() and (out[:, 2] <= 60).all()
+
+
+def test_read_midi_overlapping_same_pitch_note_ons(tmp_path):
+    """Two note-ons of one pitch before a single note-off: both notes are
+    kept and both end at the off tick (pretty_midi semantics; a single-slot
+    tracker dropped the first drum hit — self-review round 3)."""
+    import struct
+
+    track = bytes(
+        [0x00, 0x99, 38, 100,   # t=0     ch9 on  pitch38 vel100
+         0x3C, 0x99, 38, 80,    # t=60    second on, same pitch
+         0x3C, 0x89, 38, 0,     # t=120   one off
+         0x00, 0xFF, 0x2F, 0x00]
+    )
+    data = (
+        b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+        + b"MTrk" + struct.pack(">I", len(track)) + track
+    )
+    path = tmp_path / "overlap.mid"
+    path.write_bytes(data)
+    inst = read_midi(path)[0]
+    assert inst.is_drum
+    notes = sorted((round(n[0], 4), round(n[1], 4), n[2], n[3]) for n in inst.notes)
+    # 480 tpb at default 500000 us/beat: tick 60 = 0.0625 s, tick 120 = 0.125 s
+    assert notes == [(0.0, 0.125, 38.0, 100.0), (0.0625, 0.125, 38.0, 80.0)]

@@ -33,11 +33,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, "/root/repo")
-from adt_str_tpu.config import FrameworkConfig
-from adt_str_tpu.training.trainer import train
+# drive the REAL CLI entry (train.main), not trainer.train directly: the
+# distributed bring-up MUST happen before train.py's backend query — a
+# regression there silently trains N independent single-host jobs
+import train as train_cli
 
-cfg = FrameworkConfig.from_yaml(sys.argv[1])
-state = train(cfg)
+state = train_cli.main([sys.argv[1]])
+assert jax.process_count() == 2, jax.process_count()
 loss_probe = float(jax.tree.leaves(state.params)[0].mean())
 out = {"pid": jax.process_index(), "step": int(state.step), "probe": loss_probe}
 with open(os.path.join(sys.argv[2], f"train_out_{jax.process_index()}.json"), "w") as f:
