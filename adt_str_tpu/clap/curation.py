@@ -52,6 +52,15 @@ def sort_paths_by_parent_folder(file_paths: Sequence[str]) -> list[str]:
     return sorted(file_paths, key=sort_key)
 
 
+def _augmented_root_for(reference_root: str | Path) -> Path:
+    """`<reference_root>_clap_augmented` as a SIBLING of the reference tree.
+    Normalizing through Path first matters: a trailing slash on the CLI arg
+    would otherwise nest the derived root (and curate_library's rmtree of
+    it!) INSIDE the reference tree."""
+    ref = Path(reference_root)
+    return ref.with_name(ref.name + "_clap_augmented")
+
+
 def score_to_bin_label(score_value: float, num_bins: int = 10) -> str:
     """cosine [-1,1] -> 'upper-lower' percentage bin (augment_data_with_CLAP.py:162-169)."""
     bin_size = 100 // num_bins
@@ -242,7 +251,7 @@ def curate_library(
     sample_embeds, wav_files = encode_files(wrapper, wav_files, sample_rate, batch_size)
     best_idx, best_score = assign_classes(sample_embeds, class_means, mesh)
 
-    augmented_root = Path(f"{reference_root}_clap_augmented")
+    augmented_root = _augmented_root_for(reference_root)
     if augmented_root.exists():
         shutil.rmtree(augmented_root)
     augmented_root.mkdir(parents=True, exist_ok=True)
@@ -269,7 +278,9 @@ def copy_originals_to_augmented(
 ) -> Path:
     """Copy the hand-curated originals into `<class>/gold/` bins
     (`copy_originals_to_augmented.py:33-83`)."""
-    augmented_root = Path(augmented_root or f"{reference_root}_clap_augmented")
+    augmented_root = (
+        Path(augmented_root) if augmented_root else _augmented_root_for(reference_root)
+    )
     files = glob(f"{reference_root}/**/*.[Ww][Aa][Vv]", recursive=True)
     for f in files:
         label = Path(f).parent.name

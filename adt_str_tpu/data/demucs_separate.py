@@ -7,9 +7,12 @@ step); a clear error is raised when it is not installed.
 
 from __future__ import annotations
 
+import logging
 import shutil
 import subprocess
 from pathlib import Path
+
+logger = logging.getLogger(__name__)
 
 
 def separate_drums(
@@ -22,6 +25,7 @@ def separate_drums(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     results: list[Path] = []
+    seen_stems: set[str] = set()
     for file in files:
         file_path = Path(file)
         subprocess.run(
@@ -29,11 +33,21 @@ def separate_drums(
             check=True,
         )
         song_name = file_path.stem
+        # outputs are keyed by the input STEM (reference convention): two
+        # inputs sharing a basename would silently clobber each other
+        if song_name in seen_stems:
+            raise ValueError(
+                f"duplicate input basename {song_name!r}: demucs outputs are "
+                "keyed by stem; rename the inputs or separate in batches"
+            )
+        seen_stems.add(song_name)
         drum_path = output_dir / model / song_name / "drums.wav"
         final_path = output_dir / f"{song_name}_drums.wav"
         if drum_path.exists():
             drum_path.rename(final_path)
             results.append(final_path)
+        else:
+            logger.warning("demucs produced no drums stem for %s", file)
         nodrum_path = output_dir / model / song_name / "no_drums.wav"
         if nodrum_path.exists():
             nodrum_path.rename(output_dir / f"{song_name}_no_drums.wav")

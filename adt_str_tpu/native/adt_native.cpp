@@ -180,7 +180,11 @@ static PyObject* match_notes(PyObject*, PyObject* args) {
   HK hk(nl, nr);
   for (int i = 0; i < nl; ++i) {
     for (int j = 0; j < nr; ++j) {
-      if (std::fabs(ref_on[i] - est_on[j]) > onset_tol) continue;
+      // mir_eval rounds onset distances to 12 decimals before comparing so
+      // a delta of exactly the tolerance (0.65-0.6 = 0.05000000000000004 in
+      // fp64) still matches; mirror that (ops/matching.py N_DECIMALS)
+      double d = std::round(std::fabs(ref_on[i] - est_on[j]) * 1e12) / 1e12;
+      if (d > onset_tol) continue;
       double cents = 1200.0 * std::fabs(std::log2(est_pi[j] / ref_pi[i]));
       // NaN-safe: `cents > tol` is false for NaN (0/0 pitch ratio) and would
       // keep the pair; the numpy oracle's `cents <= tol` rejects it

@@ -19,6 +19,10 @@ from collections import deque
 
 import numpy as np
 
+# mir_eval.transcription's distance-rounding precision (it rounds onset and
+# offset distance matrices with np.around before comparing to the tolerance)
+N_DECIMALS = 12
+
 
 def hopcroft_karp(adjacency: list[list[int]], n_right: int) -> dict[int, int]:
     """Maximum bipartite matching. adjacency[i] = candidate right nodes for
@@ -98,8 +102,16 @@ def match_notes(
             )
             return sorted((int(a), int(b)) for a, b in pairs)
 
+    # mir_eval rounds distances before the compare (transcription.match_notes:
+    # "Round distances to a target precision to avoid the situation where if
+    # the distance is exactly 50ms ... it erroneously doesn't match because
+    # of precision issues"). On the 10 ms token grid, deltas of exactly the
+    # 0.05 s tolerance are common: 0.65-0.6 = 0.05000000000000004 in fp64.
     onset_ok = (
-        np.abs(ref_intervals[:, 0][:, None] - est_intervals[:, 0][None, :])
+        np.around(
+            np.abs(ref_intervals[:, 0][:, None] - est_intervals[:, 0][None, :]),
+            decimals=N_DECIMALS,
+        )
         <= onset_tolerance
     )
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -113,7 +125,10 @@ def match_notes(
         ref_durations = ref_intervals[:, 1] - ref_intervals[:, 0]
         offset_tol = np.maximum(offset_ratio * ref_durations, 0.05)
         offset_ok = (
-            np.abs(ref_intervals[:, 1][:, None] - est_intervals[:, 1][None, :])
+            np.around(
+                np.abs(ref_intervals[:, 1][:, None] - est_intervals[:, 1][None, :]),
+                decimals=N_DECIMALS,
+            )
             <= offset_tol[:, None]
         )
         feasible &= offset_ok

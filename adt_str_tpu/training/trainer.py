@@ -48,15 +48,9 @@ from adt_str_tpu.training.optimizer import make_optimizer
 logger = logging.getLogger(__name__)
 
 
-def setup_logging(log_level: str = "INFO") -> None:
-    logging.basicConfig(
-        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
-        datefmt="%m/%d/%Y %H:%M:%S",
-        level=getattr(logging, log_level.upper()),
-        # the TPU runtime plugin installs a root handler at import time, which
-        # would make a plain basicConfig a silent no-op
-        force=True,
-    )
+# canonical home is utils.misc (preprocessing CLIs must not import the
+# training stack just for logging setup); re-exported here for callers
+from adt_str_tpu.utils.misc import setup_logging  # noqa: E402,F401
 
 
 def _maybe_wandb(cfg: FrameworkConfig):

@@ -9,11 +9,24 @@ segment writers, and the clamped-normal sampler (re-exported from synth.fx).
 
 from __future__ import annotations
 
+import logging
 import random
 from collections import Counter
 from pathlib import Path
 
 import numpy as np
+
+
+def setup_logging(log_level: str = "INFO") -> None:
+    """Uniform logging format (reference train.py:144-152 / eval.py:150-158)."""
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S",
+        level=getattr(logging, log_level.upper()),
+        # the TPU runtime plugin installs a root handler at import time, which
+        # would make a plain basicConfig a silent no-op
+        force=True,
+    )
 
 
 def file_shuffle(files: list, seed_fix: bool) -> list:

@@ -20,7 +20,7 @@ from adt_str_tpu.data.datasets import ENSTDataset, MDBDataset
 from adt_str_tpu.domain.tokenizer import MidiTokenizer
 from adt_str_tpu.evaluation.harness import run_inference
 from adt_str_tpu.training.checkpoint import load_params_from_reference_checkpoint
-from adt_str_tpu.training.trainer import setup_logging
+from adt_str_tpu.utils.misc import setup_logging
 
 logger = logging.getLogger(__name__)
 

@@ -15,7 +15,7 @@ from adt_str_tpu.utils.misc import pin_jax_platform_from_env
 pin_jax_platform_from_env()
 
 from adt_str_tpu.config import ClapConfig, load_merged_config, make_dataclass_from
-from adt_str_tpu.training.trainer import setup_logging
+from adt_str_tpu.utils.misc import setup_logging
 
 
 def main() -> None:
@@ -23,8 +23,7 @@ def main() -> None:
     parser.add_argument("config_path", type=str)
     parser.add_argument("--num_bins", type=int, default=10)
     args = parser.parse_args()
-    if args.num_bins <= 0 or 100 % args.num_bins != 0:
-        parser.error("--num_bins must be a positive integer that divides 100 evenly")
+    # num_bins validation lives in curate_library (single home of the rule)
 
     setup_logging()
     cfg = load_merged_config(args.config_path)

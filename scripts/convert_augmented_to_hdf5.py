@@ -17,7 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from adt_str_tpu.clap.curation import convert_augmented_to_hdf5
-from adt_str_tpu.training.trainer import setup_logging
+from adt_str_tpu.utils.misc import setup_logging
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()

@@ -11,7 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from adt_str_tpu.config import SharedConfig, load_merged_config, make_dataclass_from
 from adt_str_tpu.data.lakh import LakhMidiParser
-from adt_str_tpu.training.trainer import setup_logging
+from adt_str_tpu.utils.misc import setup_logging
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()

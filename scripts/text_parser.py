@@ -17,7 +17,7 @@ from adt_str_tpu.data.parsers import (
     TextParserConfig,
     TMIDTTextParser,
 )
-from adt_str_tpu.training.trainer import setup_logging
+from adt_str_tpu.utils.misc import setup_logging
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
@@ -37,6 +37,7 @@ if __name__ == "__main__":
         dataset_size=section.get("dataset_size", "m"),
         drums_only=section.get("drums_only", True),
         num_audio_files=section.get("num_audio_files"),
+        chunk_size_mb=section.get("chunk_size_mb", 512),
     )
     name = section["dataset_name"]
     if name == "ENST":

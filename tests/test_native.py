@@ -81,3 +81,26 @@ def test_match_nan_pitch_ratio_rejected():
             ref_iv[:, 0], zero, est_iv[:, 0], zero, 0.05, 1.0
         )
         assert list(got_native) == []
+
+
+def test_match_exact_tolerance_boundary_matches():
+    """A 0.05 s onset delta computed as 0.05000000000000004 in fp64 must still
+    match at onset_tolerance=0.05: mir_eval rounds distances to 12 decimals
+    before comparing, and the token grid makes exact-tolerance deltas common
+    (self-review round 3)."""
+    from adt_str_tpu.ops.matching import match_notes
+
+    ref_iv = np.array([[0.6, 0.7]])
+    est_iv = np.array([[0.65, 0.75]])
+    pi = np.array([38000.0])
+    assert (0.65 - 0.6) > 0.05  # the fp64 artifact this guards against
+    got = match_notes(ref_iv, pi, est_iv, pi, onset_tolerance=0.05, pitch_tolerance=1.0)
+    assert got == [(0, 0)]
+    mod = native()
+    if mod is not None:
+        got_native = mod.match_notes(ref_iv[:, 0], pi, est_iv[:, 0], pi, 0.05, 1.0)
+        assert [tuple(p) for p in got_native] == [(0, 0)]
+    # numpy fallback agrees (force it via the offset_ratio branch guard)
+    got_np = match_notes(ref_iv, pi, est_iv, pi, onset_tolerance=0.05,
+                         pitch_tolerance=1.0, offset_ratio=10.0)
+    assert got_np == [(0, 0)]
