@@ -81,7 +81,10 @@ ENST_SPLITS = {
     ],
 }
 
-# eval-config genre splits (eval_dataset.py:192-222)
+# eval-config genre splits (eval_dataset.py:192-222). Kept as parity
+# documentation; filtering uses the parquet `split` column (see
+# MDBDataset._apply_filters for why the reference's substring match over
+# these names is subtly wrong).
 MDB_SPLITS = {
     0: ["MusicDelta_Punk", "MusicDelta_CoolJazz", "MusicDelta_Disco",
         "MusicDelta_SwingJazz", "MusicDelta_Rockabilly", "MusicDelta_Gospel",
@@ -353,6 +356,12 @@ class TMIDTDataset:
             notes = tok.map_notes_to_Gm_custom(
                 notes, random_velocity=random_velocity, rng=rng
             )
+            # parity note: a genuinely note-less TMIDT row encodes as
+            # [BOS, EOS] — NO silence token — exactly like the reference
+            # (train_dataset.py:163 notes_to_adt_tokens on empty notes);
+            # only the injected empties above use [BOS, silence, EOS]. In
+            # practice the TMIDT parser drops zero-note chunks, so the
+            # branch is mostly theoretical (parsers.py parse()).
             n_fit = (cfg.max_tokens - 2) // tok.tokens_per_note
             padded, length = tok.encode_padded(notes[:n_fit], cfg.max_tokens)
             return {"wavs": wave, "tokens": padded, "token_lengths": np.int64(length)}
@@ -437,10 +446,15 @@ class MDBDataset(EvalDataset):
         cfg = self.config
         splits = _normalize_splits(cfg.splits)
         if splits is not None:
-            names = [n for s in splits for n in MDB_SPLITS[s]]
-            self._keep(
-                [any(n in aid for n in names) for aid in self.data["audio_id"]]
-            )
+            # divergence: the reference filters by substring over track names
+            # (eval_dataset.py:232-233) where split 2's "MusicDelta_Rock" also
+            # matches the split-0 track "MusicDelta_Rockabilly" — single-fold
+            # evals double-count it. The parquet's `split` column (written by
+            # the parser's exact fold tables) is authoritative; with all
+            # splits selected the two filters agree, so headline numbers
+            # are unchanged.
+            want = set(splits)
+            self._keep([int(s) in want for s in self.data["split"]])
         self._keep(
             [bool(f) == bool(cfg.demucs_separated) for f in self.data["is_demucs_separated"]]
         )
@@ -467,21 +481,43 @@ def prefetch_batches(iterator: Iterator, depth: int = 2) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     error: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                # bounded put so an abandoned consumer (trainer epoch-budget
+                # break, total_steps mid-epoch stop) cannot leave this thread
+                # blocked forever holding `depth` multi-MB batches
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             error.append(e)
         finally:
-            q.put(sentinel)
+            # the sentinel must eventually land (a dropped sentinel hangs the
+            # consumer's q.get forever) — but still give up if the consumer
+            # abandoned us, same as the item puts above
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()  # consumer done (or abandoned): release the worker

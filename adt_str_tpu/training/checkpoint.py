@@ -62,7 +62,10 @@ def save_checkpoint(
     # non-fully-addressable array and crash training at the first periodic
     # save (advisor finding, round 2).
     state = {"params": params, "opt_state": opt_state}
-    ckptr.save((path / "state").absolute(), state)
+    # force=True: re-reaching a step after a rollback resume (older
+    # resume_from_checkpoint while newer dirs still exist) must overwrite,
+    # not crash the run with orbax's existing-directory ValueError
+    ckptr.save((path / "state").absolute(), state, force=True)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
         with open(path / "meta.json", "w") as f:
@@ -128,9 +131,24 @@ def restore_checkpoint(path: str | Path, abstract_state: Any) -> tuple[Any, Any,
         "opt_state": jax.tree.map(_abstract, abstract_state["opt_state"]),
     }
     state = ckptr.restore((path / "state").absolute(), template)
-    with open(path / "meta.json") as f:
-        meta = json.load(f)
-    return state["params"], state["opt_state"], meta["step"], meta["epoch"]
+    meta_path = path / "meta.json"
+    if meta_path.exists():
+        with open(meta_path) as f:
+            meta = json.load(f)
+        step, epoch = meta["step"], meta["epoch"]
+    else:
+        # a preemption between orbax finalization and the meta.json write
+        # leaves a loadable state dir without meta; the directory name
+        # encodes the same facts — fall back to it so auto-resume does not
+        # crash-loop on a half-finalized checkpoint
+        m = _CKPT_RE.search(path.name)
+        if m is None:
+            raise FileNotFoundError(
+                f"{meta_path} missing and {path.name!r} does not follow the "
+                "checkpoint-epoch-E-step-S naming"
+            )
+        epoch, step = int(m.group(1)), int(m.group(2))
+    return state["params"], state["opt_state"], step, epoch
 
 
 def export_safetensors(params: Any, path: str | Path) -> None:

@@ -363,3 +363,29 @@ def test_holdout_fraction_excludes_eval_prefix_from_training():
         for i in batch["tokens"][:, 0]
     ]
     assert sorted(all_idx) == list(range(32))
+
+
+def test_prefetch_batches_slow_consumer_and_abandonment():
+    """The sentinel must land even when the queue is full at iterator
+    exhaustion (a dropped sentinel hangs the consumer forever), and an
+    abandoned iterator must release its worker thread instead of leaving it
+    blocked on a full queue (self-review round 3)."""
+    import threading
+    import time
+
+    from adt_str_tpu.data.datasets import prefetch_batches
+
+    # slow consumer: worker finishes and fills the depth-1 queue before the
+    # consumer drains it; every item and the end-of-stream must still arrive
+    out = list(prefetch_batches(iter(range(5)), depth=1))
+    assert out == [0, 1, 2, 3, 4]
+
+    # abandonment: break out early, then the worker must exit on its own
+    before = threading.active_count()
+    it = prefetch_batches(iter(range(1000)), depth=1)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -3,6 +3,7 @@ config-driven training with on-device synthesis on the 8-device CPU mesh,
 checkpoint save + auto-resume."""
 
 import numpy as np
+from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -240,3 +241,32 @@ def test_evaluate_loss_lakh_synth_path(train_env):
     )
     assert np.isfinite(loss1) and loss1 > 0
     assert loss1 == loss2  # deterministic eval stream
+
+
+def test_checkpoint_overwrite_and_meta_fallback(tmp_path, train_env):
+    """Re-saving an existing step overwrites (rollback-resume re-reaches old
+    steps; orbax would raise on the existing dir), and a checkpoint whose
+    meta.json was lost to a preemption mid-save still restores with
+    step/epoch parsed from the directory name (self-review round 3)."""
+    import jax
+
+    from adt_str_tpu.models import adt
+    from adt_str_tpu.training.optimizer import make_optimizer
+
+    cfg = make_cfg(train_env)
+    params = adt.init_params(jax.random.PRNGKey(0), cfg.model)
+    tx, _ = make_optimizer(cfg.training, 10, params)
+    opt_state = tx.init(params)
+    out = tmp_path / "ckpts"
+    path = ckpt_lib.save_checkpoint(out, params, opt_state, step=5, epoch=1)
+    # overwrite the same step: must not raise
+    path2 = ckpt_lib.save_checkpoint(out, params, opt_state, step=5, epoch=1)
+    assert path == path2
+    # meta.json lost: restore falls back to the directory-name encoding
+    (Path(path) / "meta.json").unlink()
+    rp, _, step, epoch = ckpt_lib.restore_checkpoint(
+        path, {"params": params, "opt_state": opt_state}
+    )
+    assert (step, epoch) == (5, 1)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
