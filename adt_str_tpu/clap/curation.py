@@ -52,6 +52,13 @@ def sort_paths_by_parent_folder(file_paths: Sequence[str]) -> list[str]:
     return sorted(file_paths, key=sort_key)
 
 
+def validate_num_bins(num_bins: int) -> None:
+    """Single home of the bin rule — the CLI calls it pre-flight so an
+    invalid value fails before the CLAP model load, not after."""
+    if num_bins <= 0 or 100 % num_bins != 0:
+        raise ValueError("num_bins must be a positive integer that divides 100 evenly")
+
+
 def _augmented_root_for(reference_root: str | Path) -> Path:
     """`<reference_root>_clap_augmented` as a SIBLING of the reference tree.
     Normalizing through Path first matters: a trailing slash on the CLI arg
@@ -240,8 +247,7 @@ def curate_library(
     mesh=None,
 ) -> Path:
     """Full curation: encode G + U, assign, bin, copy. Returns output root."""
-    if num_bins <= 0 or 100 % num_bins != 0:
-        raise ValueError("num_bins must be a positive integer that divides 100 evenly")
+    validate_num_bins(num_bins)
 
     wav_files = glob(f"{sample_pack_root}/**/*.[Ww][Aa][Vv]", recursive=True)
     logger.info("library: %d files", len(wav_files))

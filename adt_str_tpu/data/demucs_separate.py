@@ -24,8 +24,17 @@ def separate_drums(
         )
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    # outputs are keyed by the input STEM (reference convention): two inputs
+    # sharing a basename would silently clobber each other — detect BEFORE
+    # the first minutes-long demucs run, not mid-pipeline
+    stems = [Path(f).stem for f in files]
+    dupes = {s for s in stems if stems.count(s) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate input basenames {sorted(dupes)}: demucs outputs are "
+            "keyed by stem; rename the inputs or separate in batches"
+        )
     results: list[Path] = []
-    seen_stems: set[str] = set()
     for file in files:
         file_path = Path(file)
         subprocess.run(
@@ -33,14 +42,6 @@ def separate_drums(
             check=True,
         )
         song_name = file_path.stem
-        # outputs are keyed by the input STEM (reference convention): two
-        # inputs sharing a basename would silently clobber each other
-        if song_name in seen_stems:
-            raise ValueError(
-                f"duplicate input basename {song_name!r}: demucs outputs are "
-                "keyed by stem; rename the inputs or separate in batches"
-            )
-        seen_stems.add(song_name)
         drum_path = output_dir / model / song_name / "drums.wav"
         final_path = output_dir / f"{song_name}_drums.wav"
         if drum_path.exists():

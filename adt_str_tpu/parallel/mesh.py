@@ -66,19 +66,18 @@ def maybe_initialize_distributed() -> None:
         else:
             jax.distributed.initialize()
     except Exception as e:
-        if explicit:
-            # An explicitly configured cluster that fails to form must NOT
-            # silently degrade to single-host: every host would train an
-            # identical independent job and clobber the shared checkpoints.
-            # (The classic cause: a backend query ran before this call.)
-            raise RuntimeError(
-                "jax.distributed.initialize failed despite an explicit "
-                "cluster env (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID "
-                f"set): {e}"
-            ) from e
-        import logging  # pragma: no cover - auto-detect miss is best-effort
-
-        logging.getLogger(__name__).warning("jax.distributed.initialize failed: %s", e)
+        # Reaching this point at all means the env signaled multi-host intent
+        # (COORDINATOR_ADDRESS or MEGASCALE_*, see the gate above). A cluster
+        # that fails to form must NOT silently degrade to single-host: every
+        # host would train an identical independent same-seed job and clobber
+        # the shared checkpoints. Classic causes: a backend query ran before
+        # this call, or a partially-set env (e.g. PROCESS_ID forgotten).
+        raise RuntimeError(
+            "jax.distributed.initialize failed despite a multi-host env "
+            "(COORDINATOR_ADDRESS/MEGASCALE set"
+            + ("" if explicit else "; NUM_PROCESSES/PROCESS_ID incomplete")
+            + f"): {e}"
+        ) from e
 
 
 def make_mesh(

@@ -160,6 +160,10 @@ def read_midi(path: str | Path) -> list[MidiInstrument]:
                     continue
                 closing = [s for s in stack if s[0] != tick]
                 if not closing:
+                    # pretty_midi: when every open note starts exactly at the
+                    # off tick, the key is DELETED — zero-length hits are
+                    # discarded, not left open for a later off to materialize
+                    del open_notes[(channel, a)]
                     continue
                 stack[:] = [s for s in stack if s[0] == tick]
                 key = (ti, channel, program_by_channel[channel])

@@ -23,7 +23,13 @@ def main() -> None:
     parser.add_argument("config_path", type=str)
     parser.add_argument("--num_bins", type=int, default=10)
     args = parser.parse_args()
-    # num_bins validation lives in curate_library (single home of the rule)
+    # fail fast BEFORE the CLAP model load; same rule curate_library enforces
+    from adt_str_tpu.clap.curation import validate_num_bins
+
+    try:
+        validate_num_bins(args.num_bins)
+    except ValueError as e:
+        parser.error(str(e))
 
     setup_logging()
     cfg = load_merged_config(args.config_path)

@@ -124,3 +124,24 @@ def test_read_midi_overlapping_same_pitch_note_ons(tmp_path):
     notes = sorted((round(n[0], 4), round(n[1], 4), n[2], n[3]) for n in inst.notes)
     # 480 tpb at default 500000 us/beat: tick 60 = 0.0625 s, tick 120 = 0.125 s
     assert notes == [(0.0, 0.125, 38.0, 100.0), (0.0625, 0.125, 38.0, 80.0)]
+
+
+def test_read_midi_zero_length_hits_discarded(tmp_path):
+    """pretty_midi deletes the tracking key when a note-off lands exactly on
+    every open note's start tick: the zero-length hit is discarded and a
+    later redundant off must NOT materialize a phantom note."""
+    import struct
+
+    track = bytes(
+        [0x00, 0x99, 38, 100,   # t=0    on
+         0x00, 0x89, 38, 0,     # t=0    off at the same tick: discard
+         0x3C, 0x89, 38, 0,     # t=60   redundant off: no phantom note
+         0x00, 0xFF, 0x2F, 0x00]
+    )
+    data = (
+        b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+        + b"MTrk" + struct.pack(">I", len(track)) + track
+    )
+    path = tmp_path / "zerolen.mid"
+    path.write_bytes(data)
+    assert read_midi(path) == []
