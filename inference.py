@@ -47,13 +47,27 @@ def chunk_audio(wave: np.ndarray, chunk_samples: int) -> tuple[np.ndarray, np.nd
 
 def transcribe(
     params, cfg: FrameworkConfig, wave: np.ndarray, tokenizer: MidiTokenizer,
-    mesh=None,
+    mesh=None, hop_sec: float | None = None,
 ) -> np.ndarray:
     """Chunked greedy transcription; with `mesh`, the chunks decode
     data-parallel across the mesh's data axis (the reference's long-audio
     strategy is sequential per-chunk decoding on one device,
-    inference.py:98-120)."""
-    chunks, starts = chunk_audio(wave, cfg.shared.chunk_samples)
+    inference.py:98-120).
+
+    `hop_sec` < input_sec gives overlapping chunks (framework addition; the
+    reference's single-file CLI has no hop, its youtube pipeline does):
+    notes near a chunk boundary are seen by a chunk that does not cut them.
+    Use a multiple of the 10 ms token grid so overlap duplicates land on the
+    same global grid and the row-level dedup removes them."""
+    if hop_sec:
+        from adt_str_tpu.domain.segmenter import chunk_wave
+
+        triples = chunk_wave(wave, cfg.shared.chunk_samples,
+                             int(hop_sec * cfg.shared.sample_rate))
+        chunks = np.stack([c for _, c, _ in triples])
+        starts = np.array([s for s, _, _ in triples])
+    else:
+        chunks, starts = chunk_audio(wave, cfg.shared.chunk_samples)
     n_real = len(chunks)
     wavs_dev = jnp.asarray(chunks)
     if mesh is not None:
@@ -98,6 +112,11 @@ def main() -> None:
     parser.add_argument("config_path", type=str)
     parser.add_argument("-o", "--output_path", type=str, default="outputs/")
     parser.add_argument("-s", "--synthetise_transcription", action="store_true")
+    parser.add_argument(
+        "--hop_sec", type=float, default=None,
+        help="overlap hop in seconds (< input_sec): boundary notes are seen "
+        "by an uncut chunk; use a multiple of 0.01 so duplicates dedup",
+    )
     args = parser.parse_args()
 
     os.makedirs(args.output_path, exist_ok=True)
@@ -129,7 +148,7 @@ def main() -> None:
     if len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
         print(f"Decoding chunks over {len(jax.devices())} devices")
-    notes = transcribe(params, cfg, wave, tokenizer, mesh=mesh)
+    notes = transcribe(params, cfg, wave, tokenizer, mesh=mesh, hop_sec=args.hop_sec)
 
     midi_path = os.path.join(args.output_path, f"{input_stem}.mid")
     write_midi(midi_path, notes, is_drum=True)

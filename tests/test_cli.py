@@ -167,3 +167,25 @@ def test_hdf5_packer_cli(tmp_path):
     bank = load_bank_hdf5(str(tmp_path / f"bank@{SR}.hdf5"), max_len=512)
     assert bank.n_samples == 3
     assert set(bank.pitches()) == {38, 42}
+
+
+def test_inference_cli_hop(tmp_path, checkpoint_dir):
+    """--hop_sec decodes overlapping chunks (framework addition: boundary
+    notes get an uncut view); the CLI must run end to end and dedup."""
+    wav_path = tmp_path / "in_hop.wav"
+    rng = np.random.default_rng(2)
+    write_wav(wav_path, (rng.normal(size=int(1.2 * SR)) * 0.1).astype(np.float32), SR)
+    cfg = {
+        "shared": SHARED,
+        "model": MODEL_SECTION,
+        "tokenizer": {"ADTOF_mapping": False, "BOS_token": 2, "EOS_token": 3,
+                      "pad_token": 1, "silence_token": 0, "add_velocity": True},
+        "inference": {"checkpoint_path": checkpoint_dir, "max_length": 12},
+    }
+    cfg_path = tmp_path / "cfg_hop.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out_hop"
+    proc = _run(["inference.py", str(wav_path), str(cfg_path), "-o", str(out_dir),
+                 "--hop_sec", "0.32"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (out_dir / "in_hop.mid").exists()
