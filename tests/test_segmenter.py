@@ -58,3 +58,24 @@ def test_annotation_past_audio_raises():
     notes = np.array([[5.0, 5.1, 38, 100]], dtype=np.float32)
     with pytest.raises(ValueError):
         seg.chunk_audio_and_notes(audio, notes)
+
+
+def test_chunk_wave_canonical():
+    """chunk_wave is THE audio-only chunker behind inference.py and the
+    youtube pipeline: zero-padded chunks, true pre-pad lengths, hop overlap,
+    and one silent chunk for empty input."""
+    from adt_str_tpu.domain.segmenter import chunk_wave
+
+    wav = np.arange(2500, dtype=np.float32)
+    triples = chunk_wave(wav, 1000)
+    assert [(s, t) for s, _, t in triples] == [(0, 1000), (1000, 1000), (2000, 500)]
+    assert all(len(c) == 1000 for _, c, _ in triples)
+    np.testing.assert_array_equal(triples[2][1][500:], 0.0)
+    np.testing.assert_array_equal(triples[2][1][:500], wav[2000:])
+    # hop overlap
+    starts = [s for s, _, _ in chunk_wave(wav, 1000, 500)]
+    assert starts == [0, 500, 1000, 1500, 2000]
+    # empty input: one silent chunk, true_len 0
+    triples = chunk_wave(np.zeros(0, np.float32), 1000)
+    assert len(triples) == 1 and triples[0][2] == 0
+    np.testing.assert_array_equal(triples[0][1], 0.0)
