@@ -203,6 +203,16 @@ def reference_class_means(
     return means.astype(np.float32), labels
 
 
+@jax.jit
+def _score_classes(u, m):
+    # module-level jit: a per-call @jax.jit closure would re-trace and
+    # re-compile the (U, 512) x (512, C) program on EVERY call (and made the
+    # round-2 curation bench time compilation instead of compute)
+    u_n = u / jnp.linalg.norm(u, axis=1, keepdims=True)
+    sims = u_n @ m.T  # (U, C)
+    return jnp.argmax(sims, axis=1), jnp.max(sims, axis=1)
+
+
 def assign_classes(
     sample_embeds: np.ndarray,
     class_means: np.ndarray,
@@ -216,12 +226,7 @@ def assign_classes(
     python loop (augment_data_with_CLAP.py:139-151).
     """
     means_n = class_means / np.linalg.norm(class_means, axis=1, keepdims=True)
-
-    @jax.jit
-    def score(u, m):
-        u_n = u / jnp.linalg.norm(u, axis=1, keepdims=True)
-        sims = u_n @ m.T  # (U, C)
-        return jnp.argmax(sims, axis=1), jnp.max(sims, axis=1)
+    score = _score_classes
 
     u = jnp.asarray(sample_embeds)
     m = jnp.asarray(means_n)

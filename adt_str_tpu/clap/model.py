@@ -21,7 +21,7 @@ from adt_str_tpu.clap.audio_model import (
     audio_params_from_torch_state_dict,
     get_audio_features,
 )
-from adt_str_tpu.clap.features import ClapFeatureExtractor
+from adt_str_tpu.clap.features import MAX_SAMPLES, ClapFeatureExtractor, _device_mel
 from adt_str_tpu.clap.text_model import (
     ClapTextArch,
     get_text_features,
@@ -80,10 +80,28 @@ class ClapWrapper:
     # ------------------------------------------------------------------ audio
 
     def get_audio_features(self, audios: list[np.ndarray]) -> np.ndarray:
-        """list of mono 48 kHz waveforms -> (B, 512) L2-normalized embeddings."""
-        feats, is_longer = self.feature_extractor(
-            [np.asarray(a).reshape(-1) for a in audios]
-        )
+        """list of mono 48 kHz waveforms -> (B, 512) L2-normalized embeddings.
+
+        Short clips on an accelerator take the DEVICE-RESIDENT path: one wave
+        upload, then mel -> 4x view replication -> HTSAT tower with every
+        intermediate staying in HBM. Routing through the host extractor
+        instead would D2H the mel (~16 MB/batch) and re-upload the replicated
+        features (~65 MB/batch) — round-3 curation-bench finding; numerics
+        are identical (same _pad_short, same device mel, longer=False)."""
+        fx = self.feature_extractor
+        arrays = [np.asarray(a).reshape(-1) for a in audios]
+        if (
+            fx.use_device
+            and not fx.replicate_hf_longer_quirk
+            and all(len(a) <= MAX_SAMPLES for a in arrays)
+        ):
+            padded = np.stack([fx._pad_short(a) for a in arrays]).astype(np.float32)
+            mel = _device_mel(jnp.asarray(padded))  # (B, 1001, 64), on device
+            mels = jnp.repeat(mel[:, None, :, :], 4, axis=1)
+            longer = jnp.zeros((mel.shape[0],), bool)
+            out = get_audio_features(self.audio_params, mels, longer, self.audio_arch)
+            return np.asarray(out)
+        feats, is_longer = fx(arrays)
         out = get_audio_features(
             self.audio_params, jnp.asarray(feats), jnp.asarray(is_longer),
             self.audio_arch,

@@ -102,8 +102,16 @@ def _envelope_dec(x: jnp.ndarray, sr: int, attack_ms, release_ms) -> jnp.ndarray
     n_dec = n // ENV_DECIM
     ax = jnp.abs(x[: n_dec * ENV_DECIM]).reshape(n_dec, ENV_DECIM).max(axis=-1)
     sr_dec = sr // ENV_DECIM
-    attack_coeff = jnp.exp(-1.0 / (sr_dec * jnp.maximum(attack_ms, 0.1) / 1000.0))
-    release_coeff = jnp.exp(-1.0 / (sr_dec * jnp.maximum(release_ms, 1.0) / 1000.0))
+    # JUCE ballistics time-constant form: cte = exp(-2*pi*1000/(sr*time_ms))
+    # (juce_BallisticsFilter.cpp) transplanted to the decimated grid. The
+    # round-2 exp(-1/(tau*sr)) form made attack/release ~6.3x slower than the
+    # pedalboard chain being modeled (round-3 oracle-review finding).
+    attack_coeff = jnp.exp(
+        -2.0 * jnp.pi * 1000.0 / (sr_dec * jnp.maximum(attack_ms, 0.1))
+    )
+    release_coeff = jnp.exp(
+        -2.0 * jnp.pi * 1000.0 / (sr_dec * jnp.maximum(release_ms, 1.0))
+    )
     fast = ema_scan(ax, attack_coeff)
     slow = ema_scan(ax, release_coeff)
     return jnp.maximum(fast, slow)

@@ -7,6 +7,7 @@ import torch
 import jax.numpy as jnp
 
 from adt_str_tpu.clap import features as feat_lib
+from adt_str_tpu.clap.model import ClapWrapper
 from adt_str_tpu.clap.audio_model import (
     ClapAudioArch,
     audio_params_from_torch_state_dict,
@@ -198,3 +199,51 @@ def test_device_path_matches_host_on_ragged_short_batch():
     h_feats, _ = host(clips)
     d_feats, _ = dev(clips)
     np.testing.assert_allclose(d_feats, h_feats, atol=5e-2)
+
+
+def test_wrapper_device_resident_short_path(torch_clap, monkeypatch):
+    """ClapWrapper.get_audio_features' device-resident short-clip path (one
+    wave upload, mel + 4x views on device) must hand the tower exactly the
+    features the extractor-then-upload route it shortcuts would (only the
+    host round trip differs — round-3 curation-bench finding). The tower
+    call itself is identical code in both routes, so it is stubbed here and
+    the features it RECEIVES are compared."""
+    model, audio_cfg, text_cfg = torch_clap
+    audio_arch = _arch_from_cfg(audio_cfg)
+    wrapper = ClapWrapper(
+        "unused", state_dict=_sd(model), audio_arch=audio_arch,
+        text_arch=ClapTextArch(
+            vocab_size=text_cfg.vocab_size,
+            hidden_size=text_cfg.hidden_size,
+            num_layers=text_cfg.num_hidden_layers,
+            num_heads=text_cfg.num_attention_heads,
+            intermediate_size=text_cfg.intermediate_size,
+            max_positions=text_cfg.max_position_embeddings,
+            projection_dim=text_cfg.projection_dim,
+        ),
+    )
+    seen = {}
+
+    def tower_stub(params, mels, longer, arch):
+        seen["mels"] = np.asarray(mels)
+        seen["longer"] = np.asarray(longer)
+        return jnp.zeros((mels.shape[0], 8))
+
+    import adt_str_tpu.clap.model as model_lib
+
+    monkeypatch.setattr(model_lib, "get_audio_features", tower_stub)
+    rng = np.random.default_rng(11)
+    clips = [
+        (rng.normal(size=30_000) * 0.3).astype(np.float32),
+        (rng.normal(size=7919) * 0.5).astype(np.float32),
+    ]
+
+    wrapper.feature_extractor.use_device = True  # forced on (CPU backend here)
+    wrapper.get_audio_features(clips)
+    fused_mels, fused_longer = seen["mels"], seen["longer"]
+    assert fused_mels.shape[1] == 4 and not fused_longer.any()
+
+    # the route being shortcut: host extractor (same device mel) + upload
+    host_feats, host_longer = wrapper.feature_extractor(clips)
+    np.testing.assert_allclose(fused_mels, host_feats, atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(fused_longer, np.asarray(host_longer))

@@ -223,14 +223,27 @@ def main() -> None:
         h2d = time.perf_counter() - t0
         results["assign_h2d_probe_mb"] = probe.nbytes / 2**20
         results["assign_h2d_mb_per_s"] = probe.nbytes / 2**20 / h2d
-        assign_classes(u_dev[:1024], means)  # compile at small size
-        idx, score = assign_classes(u_dev, means)  # compile at full size
+        # time DEVICE compute alone: the result D2H (8 MB of idx/score over
+        # this host's flaky tunnel) is reported separately — the round-2 JSON
+        # billed compilation + transfer to "assignment" (the per-call @jax.jit
+        # closure also meant the warmups warmed nothing; fixed in curation.py)
+        from adt_str_tpu.clap.curation import _score_classes
+
+        means_dev = jnp.asarray(
+            means / np.linalg.norm(means, axis=1, keepdims=True)
+        )
+        jax.block_until_ready(_score_classes(u_dev, means_dev))  # compile
         t0 = time.perf_counter()
-        idx, score = assign_classes(u_dev, means)
+        idx_dev, score_dev = _score_classes(u_dev, means_dev)
+        jax.block_until_ready((idx_dev, score_dev))
         dt = time.perf_counter() - t0
-        results["assign_1m_s"] = dt
+        results["assign_1m_device_s"] = dt
+        t0 = time.perf_counter()
+        idx, score = np.asarray(idx_dev), np.asarray(score_dev)
+        results["assign_1m_d2h_s"] = time.perf_counter() - t0
         print(
-            f"assign {args.assign_size} x 48:  {dt:9.2f} s on device "
+            f"assign {args.assign_size} x 48:  {dt:9.4f} s device compute + "
+            f"{results['assign_1m_d2h_s']:.2f} s result D2H "
             f"(tunnel probe: {probe.nbytes/2**20/h2d:.0f} MB/s on this host)"
         )
 
@@ -259,14 +272,17 @@ def main() -> None:
     )
     pipeline_rate = min(host_rate, results["device_encode_compute_files_per_s"])
     t_encode = n / pipeline_rate
-    t_total = t_encode + results["assign_1m_s"] + n / results["copy_files_per_s"]
+    t_assign = results.get("assign_1m_device_s", 0.0) + results.get("assign_1m_d2h_s", 0.0)
+    t_total = t_encode + t_assign + n / results["copy_files_per_s"]
     results["projected_1m_encode_min"] = t_encode / 60
     results["projected_1m_total_min"] = t_total / 60
     results["projection_note"] = (
         "single-chip projection using the measured device-compute encode rate "
         "(PCIe H2D assumed, this host's tunnel rate recorded separately); "
-        "the encode stage shards linearly over devices and assign_classes "
-        "already shards U over the data mesh axis"
+        "since round 3 the production get_audio_features short-clip path IS "
+        "the device-resident mel+tower program this rate measures (one wave "
+        "upload, no host mel round trip); the encode stage shards linearly "
+        "over devices and assign_classes already shards U over the data axis"
     )
     print(
         f"\nprojected 1M library: encode {t_encode/60:.1f} min, "

@@ -75,13 +75,17 @@ def main() -> None:
                         params, wave, cfg, beam_size=args.beam_size,
                         max_length=args.max_length,
                     )
-                return np.asarray(out)  # host transfer drains the tunnel
+                # cheap device-side sync: a full token-matrix D2H here would
+                # bill the flaky tunnel (up to ~15% at bs64) to decode time
+                jax.block_until_ready(out)
+                return out
 
-            run()  # compile + warm
+            np.asarray(run())  # compile + warm + drain the dispatch queue
             t0 = time.perf_counter()
             for _ in range(args.repeats):
                 out = run()
             dt = (time.perf_counter() - t0) / args.repeats
+            out = np.asarray(out)  # transfer once, outside the timer
             assert out.shape[0] == bs
             results[f"{mode}_bs{bs}_items_per_s"] = round(bs / dt, 2)
             results[f"{mode}_bs{bs}_s_per_batch"] = round(dt, 4)

@@ -75,13 +75,14 @@ def freeverb(
         dry_level = 1.0 - wet_level
     feedback = ROOM_SCALE * room_size + ROOM_OFFSET
     damp = DAMP_SCALE * damping
-    scale = sr / 44100.0
+    # JUCE Reverb::setSampleRate uses INTEGER division for the retuned delay
+    # lengths ((tuning * intSampleRate) / 44100), not rounding
     xin = x.astype(np.float64) * FIXED_GAIN
     wet = np.zeros_like(xin)
     for t in COMB_TUNINGS_44K:
-        wet += _comb(xin, max(1, int(round(t * scale))), feedback, damp)
+        wet += _comb(xin, max(1, (t * int(sr)) // 44100), feedback, damp)
     for t in ALLPASS_TUNINGS_44K:
-        wet = _allpass(wet, max(1, int(round(t * scale))))
+        wet = _allpass(wet, max(1, (t * int(sr)) // 44100))
     # JUCE processMono: out = wet * wetLevel*3 * (width/2 + 0.5) + dry*2 * x
     wet_gain = WET_SCALE * wet_level * (width / 2.0 + 0.5)
     return (wet * wet_gain + DRY_SCALE * dry_level * x).astype(np.float64)
@@ -89,9 +90,16 @@ def freeverb(
 
 def ballistics_peak(x: np.ndarray, sr: int, attack_ms: float, release_ms: float) -> np.ndarray:
     """JUCE BallisticsFilter, peak mode: y = x_abs + cte*(y_prev - x_abs),
-    cte = exp(-1/(tau_s * sr)) chosen per rising/falling edge."""
-    cte_at = np.exp(-1.0 / (max(attack_ms, 1e-4) * 1e-3 * sr))
-    cte_rl = np.exp(-1.0 / (max(release_ms, 1e-4) * 1e-3 * sr))
+    cte = exp(expFactor / timeMs) with expFactor = -2*pi*1000/sampleRate
+    (juce_BallisticsFilter.cpp calculateLimitedCte; times < 1e-3 ms clamp
+    cte to 0). A plain exp(-1/(tau_s*sr)) — the round-2 version of this
+    oracle — is ~6.3x SLOWER than JUCE's envelopes."""
+
+    def cte(time_ms: float) -> float:
+        return 0.0 if time_ms < 1e-3 else float(np.exp(-2.0 * np.pi * 1000.0 / sr / time_ms))
+
+    cte_at = cte(attack_ms)
+    cte_rl = cte(release_ms)
     ax = np.abs(x)
     y = np.empty_like(ax)
     prev = 0.0

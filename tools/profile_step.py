@@ -77,8 +77,16 @@ def main() -> None:
     notes, mask = _make_notes(rng, BATCH_SIZE)
     import jax.numpy as jnp
 
+    # same input path as the production step being decomposed (bench.py
+    # applies the note-bucket trim; per-note stream cost scales with PADDED
+    # slot count, so timing 128 untrimmed slots would inflate the synth
+    # share by ~2 ms vs the 13.8 steps/s step this tool attributes)
+    from adt_str_tpu.data.datasets import trim_note_bucket
+
+    trimmed = trim_note_bucket({"notes": notes, "note_mask": mask})
     synth_batch = {
-        "notes": jnp.asarray(notes), "note_mask": jnp.asarray(mask),
+        "notes": jnp.asarray(trimmed["notes"]),
+        "note_mask": jnp.asarray(trimmed["note_mask"]),
         "tokens": base["tokens"], "token_lengths": base["token_lengths"],
     }
     wav_batch = {

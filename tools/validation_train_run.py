@@ -292,7 +292,8 @@ def main() -> None:
 
     print(json.dumps(result))
     (td / "validation_result.json").write_text(json.dumps(result, indent=2))
-    sys.exit(0 if ok else 1)
+    # gate on EVERY stage that ran: an eval.py crash must fail the round trip
+    sys.exit(0 if ok and result.get("eval_ok", True) else 1)
 
 
 if __name__ == "__main__":
