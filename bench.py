@@ -40,22 +40,14 @@ MEASURE_WINDOWS = 3
 
 
 def _make_notes(rng, batch_size):
-    notes = np.zeros((batch_size, MAX_NOTES, 4), np.float32)
-    mask = np.zeros((batch_size, MAX_NOTES), bool)
-    for i in range(batch_size):
-        n = int(rng.integers(3, 40))
-        onsets = np.sort(rng.uniform(0, 2.4, n))
-        notes[i, :n] = np.stack(
-            [
-                onsets,
-                onsets + 0.05,
-                rng.choice([35, 36, 38, 41, 42, 46, 48], n),
-                rng.integers(30, 127, n),
-            ],
-            axis=1,
-        )
-        mask[i, :n] = True
-    return notes, mask
+    from __graft_entry__ import make_notes
+
+    # shared layout with the multichip dryrun; default n_range reproduces
+    # this bench's historical U[3, 40) per-row note count
+    return make_notes(
+        rng, batch_size, max_notes=MAX_NOTES,
+        pitches=[35, 36, 38, 41, 42, 46, 48], onset_hi=2.4,
+    )
 
 
 def main() -> None:
@@ -99,7 +91,7 @@ def main() -> None:
     )
 
     n_dev = len(jax.devices())
-    base = _make_batch(cfg, batch_size=BATCH_SIZE, max_tokens=MAX_TOKENS)
+    base = _make_batch(cfg, batch_size=BATCH_SIZE, max_tokens=MAX_TOKENS, make_wavs=False)
     notes, mask = _make_notes(rng, BATCH_SIZE)
     # production input path applies the same bucket trim (datasets.collate)
     from adt_str_tpu.data.datasets import trim_note_bucket

@@ -8,11 +8,18 @@ TPU hardware via XLA's host-platform device splitting, per SURVEY.md §4's
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# strip-and-replace, not append-if-absent: the suite hard-requires EXACTLY 8
+# virtual devices, and an inherited --xla_force_host_platform_device_count=N
+# from the launching environment (e.g. a driver that just ran
+# dryrun_multichip(4)) would otherwise fail every mesh-shape assertion
+xla_flags = " ".join(
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+)
+os.environ["XLA_FLAGS"] = (
+    xla_flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 # The image's sitecustomize registers an `axon` TPU PJRT plugin at interpreter
 # startup; an explicit config update (not just the env var) is needed to pin
