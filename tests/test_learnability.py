@@ -96,4 +96,7 @@ def test_overfit_and_transcribe():
     precision = TP / max(TP + FP, 1)
     recall = TP / max(TP + FN, 1)
     f1 = 2 * precision * recall / max(precision + recall, 1e-9)
-    assert f1 > 0.6, (precision, recall, f1)
+    # 0.9, not 0.6: the flagship protocol hits F1=1.000 on TPU (DESIGN.md);
+    # a 0.6 bar would pass a model that silently drops a whole pitch class
+    # (P~1, R~2/3 -> F1~0.8) and pin only "more than half right"
+    assert f1 > 0.9, (precision, recall, f1)

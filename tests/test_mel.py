@@ -131,3 +131,33 @@ def test_from_config():
     )
     assert p.hop_length == 240 and p.n_freqs == 1025
     assert p.out_frames(61440) == 246
+
+
+def test_filterbank_matches_independent_htk_construction():
+    """Pin mel_filterbank against a from-the-textbook scalar-loop HTK
+    construction written here (NOT shared code): the full-chain torch test
+    above builds its reference mel projection from the module's own
+    filterbank, so the filterbank itself needs an independent oracle
+    (self-review round 3). Also pins the f_min=20 default (model.py:74)."""
+    import math
+
+    n_freqs, n_mels, sr, f_min = 129, 16, 8000, 20.0
+    fb = mel_filterbank(n_freqs, n_mels, sr, f_min=f_min)
+
+    def hz2mel(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    freqs = [(sr // 2) * i / (n_freqs - 1) for i in range(n_freqs)]
+    lo_m, hi_m = hz2mel(f_min), hz2mel(sr / 2.0)
+    pts = [mel2hz(lo_m + (hi_m - lo_m) * k / (n_mels + 1)) for k in range(n_mels + 2)]
+    expected = np.zeros((n_freqs, n_mels))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        for i, f in enumerate(freqs):
+            expected[i, m] = max(0.0, min((f - lo) / (c - lo), (hi - f) / (hi - c)))
+    np.testing.assert_allclose(fb, expected, atol=1e-5)
+    # the default f_min is part of the torchaudio-parity contract
+    np.testing.assert_array_equal(fb, mel_filterbank(n_freqs, n_mels, sr))

@@ -48,9 +48,28 @@ sys.path.insert(0, "/root/repo")
 import eval as eval_cli
 from adt_str_tpu.config import FrameworkConfig
 
+# pin the single-writer gate DIRECTLY: record every metrics/confusion write
+# this process performs (identical bytes from two writers would pass a
+# content-only check while racing on shared storage)
+import builtins
+
+wrote = []
+_orig_open = builtins.open
+
+def _spy_open(path, *a, **k):
+    mode = a[0] if a else k.get("mode", "r")
+    if "w" in str(mode) and (
+        str(path).endswith("metrics.json") or str(path).endswith("confusion_matrix.csv")
+    ):
+        wrote.append(str(path))
+    return _orig_open(path, *a, **k)
+
+builtins.open = _spy_open
 metrics = eval_cli.main(FrameworkConfig.from_yaml(sys.argv[1]), exclude_ref_empty=True)
+builtins.open = _orig_open
+out = {"metrics": metrics, "wrote": wrote}
 with open(os.path.join(sys.argv[2], f"eval_out_{jax.process_index()}.json"), "w") as f:
-    json.dump(metrics, f, sort_keys=True)
+    json.dump(out, f, sort_keys=True)
 """
 
 
@@ -140,12 +159,18 @@ def test_two_process_cli_eval(tmp_path):
             raise
         assert p.returncode == 0, err[-4000:]
 
-    outs = [
+    raw = [
         json.loads((tmp_path / f"eval_out_{pid}.json").read_text())
         for pid in range(2)
     ]
+    outs = [r["metrics"] for r in raw]
     # every host computed the identical metrics
     assert outs[0] == outs[1]
+    # the single-writer gate, pinned directly: process 0 wrote the artifacts,
+    # process 1 performed ZERO writes (a content-only check passes even if
+    # both processes race identical bytes onto shared storage)
+    assert any(p.endswith("metrics.json") for p in raw[0]["wrote"]), raw[0]["wrote"]
+    assert raw[1]["wrote"] == [], raw[1]["wrote"]
 
     # ... equal to a single-process single-device run of the same checkpoint
     from adt_str_tpu.config import FrameworkConfig

@@ -40,7 +40,18 @@ from adt_str_tpu.training.trainer import train
 
 cfg = FrameworkConfig.from_yaml(sys.argv[1])
 state = train(cfg)
-probe = float(jax.tree.leaves(state.params)[0].mean())
+
+# position-sensitive fingerprint over several leaves: a plain mean of one
+# leaf is invariant to shard permutation/roll corruption and checks almost
+# nothing about a sharded restore
+import jax.numpy as jnp
+
+def _fp(x):
+    x = x.reshape(-1).astype(jnp.float32)
+    w = jnp.cos(jnp.arange(x.shape[0]) * 0.1)
+    return jnp.vdot(x, w)
+
+probe = float(sum(float(jax.jit(_fp)(l)) for l in jax.tree.leaves(state.params)[:8]))
 out = {"pid": jax.process_index(), "step": int(state.step), "probe": probe}
 tag = sys.argv[3]
 with open(os.path.join(sys.argv[2], f"tp_out_{tag}_{jax.process_index()}.json"), "w") as f:
@@ -57,6 +68,7 @@ def _free_port() -> int:
 def _launch(worker, cfg_path, tmp_path, tag):
     port = _free_port()
     procs = []
+    errs = []
     for pid in range(2):
         env = dict(**__import__("os").environ)
         env.update(
@@ -78,10 +90,11 @@ def _launch(worker, cfg_path, tmp_path, tag):
                 q.kill()
             raise
         assert p.returncode == 0, err[-4000:]
+        errs.append(err)
     return [
         json.loads((tmp_path / f"tp_out_{tag}_{pid}.json").read_text())
         for pid in range(2)
-    ]
+    ], errs
 
 
 @pytest.mark.slow
@@ -131,7 +144,7 @@ def test_two_process_tensor_parallel_train_save_resume(tmp_path):
 
     cfg_path = tmp_path / "tp.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg_dict(max_steps=4)))
-    outs = _launch(worker, cfg_path, tmp_path, "first")
+    outs, _ = _launch(worker, cfg_path, tmp_path, "first")
     assert outs[0]["step"] == outs[1]["step"] == 4
     np.testing.assert_allclose(outs[0]["probe"], outs[1]["probe"], rtol=1e-6)
 
@@ -148,6 +161,17 @@ def test_two_process_tensor_parallel_train_save_resume(tmp_path):
     # second two-process run auto-resumes from the sharded checkpoint
     cfg_path2 = tmp_path / "tp2.yaml"
     cfg_path2.write_text(yaml.safe_dump(cfg_dict(max_steps=6)))
-    outs2 = _launch(worker, cfg_path2, tmp_path, "second")
+    outs2, errs2 = _launch(worker, cfg_path2, tmp_path, "second")
     assert outs2[0]["step"] == outs2[1]["step"] == 6
     np.testing.assert_allclose(outs2[0]["probe"], outs2[1]["probe"], rtol=1e-6)
+    # run 2 must have ACTUALLY resumed (seed-determinism means a silent
+    # from-scratch run would satisfy every other assertion): the trainer
+    # logs the restore on every process, and a step-6 checkpoint exists
+    for err in errs2:
+        assert "resumed from" in err and "at step 4" in err, err[-2000:]
+    assert any(
+        p.name.endswith("-step-6")
+        for p in run_dir.glob("checkpoint-epoch-*-step-*")
+    )
+    # resumed params differ from the first run's (2 extra steps trained)
+    assert abs(outs2[0]["probe"] - outs[0]["probe"]) > 0.0

@@ -200,6 +200,9 @@ def test_forward_loss_matches_reference(reference_outputs):
 def test_greedy_sample_matches_reference(reference_outputs):
     cfg, params, wave, _, _, ref = reference_outputs
     ours = np.asarray(greedy_decode(params, jnp.asarray(wave), cfg, MAX_LEN))
+    # non-emptiness guard: if every row EOS'd immediately, token-for-token
+    # equality would be a vacuous [] == [] and pin nothing
+    assert sum(len(_truncate_at_eos(ours[i])) for i in range(wave.shape[0])) >= 8
     for i in range(wave.shape[0]):
         assert _truncate_at_eos(ours[i]) == _truncate_at_eos(ref["greedy"][i]), i
 
@@ -212,5 +215,6 @@ def test_beam_search_matches_reference(reference_outputs):
             length_penalty=1.0,
         )
     )
+    assert sum(len(_truncate_at_eos(ours[i])) for i in range(wave.shape[0])) >= 8
     for i in range(wave.shape[0]):
         assert _truncate_at_eos(ours[i]) == _truncate_at_eos(ref["beam"][i]), i

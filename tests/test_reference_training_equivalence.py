@@ -471,3 +471,51 @@ def test_schedule_matches_hf_scheduler(tmp_path):
         # tiny LRs carry ~2e-5 relative fp32 error vs HF's float64
         np.testing.assert_allclose(ours_lrs, hf_lrs, rtol=1e-4, atol=1e-10,
                                    err_msg=sched_type)
+
+
+def test_reference_lr_trajectory_matches_our_schedule(dynamics):
+    """The runner records the LR actually APPLIED at each of the N_STEPS
+    updates, resolved through the genuine create_training_arguments ->
+    TrainingArguments -> HF scheduler path of the dynamics run. Our
+    schedule must match it value-for-value — the companion scheduler test
+    pins make_schedule against a hand-built TrainingArguments, not against
+    this resolution path (self-review round 3: the data was captured and
+    never asserted)."""
+    _, _, ref = dynamics
+    from adt_str_tpu.training.optimizer import make_schedule
+
+    cfg = _framework_config("unused", "unused")
+    sched = make_schedule(cfg.training, N_STEPS)
+    ours = [float(sched(s)) for s in range(N_STEPS)]
+    # our schedule evaluates in fp32 (measured ~6e-5 relative vs HF's f64
+    # lambda); semantic divergences (off-by-one, wrong warmup resolution)
+    # are O(1e-2+) and still fail loudly at this tolerance
+    np.testing.assert_allclose(ours, ref["lrs"], rtol=2e-4, atol=1e-9)
+
+
+def test_final_param_update_magnitudes_match(dynamics):
+    """Per-leaf UPDATE norms |final - init| must agree between the two
+    trainers: the absolute final-params tolerance floors at 1e-2, which
+    exceeds the entire 120-step update of small leaves (LN scale/bias,
+    small biases) and leaves them effectively unchecked (self-review
+    round 3). Init is reconstructed from the same seed the fixture used."""
+    _, ours_sd, ref = dynamics
+    cfg = _framework_config("unused", "unused")
+    init_sd = params_to_torch_state_dict(
+        adt.init_params(jax.random.PRNGKey(SEED), cfg.model)
+    )
+    keys = json.loads(str(ref["final_keys"]))
+    checked = 0
+    for k in keys:
+        if k not in ours_sd:
+            continue
+        init = np.asarray(init_sd[k], np.float64)
+        du_ours = float(np.linalg.norm(np.asarray(ours_sd[k], np.float64) - init))
+        du_ref = float(np.linalg.norm(ref[f"final.{k}"].astype(np.float64) - init))
+        if du_ref < 1e-7:
+            assert du_ours < 1e-6, k  # a leaf the reference never touched
+            continue
+        ratio = du_ours / du_ref
+        assert 0.8 < ratio < 1.25, (k, du_ours, du_ref, ratio)
+        checked += 1
+    assert checked >= 20
