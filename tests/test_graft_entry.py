@@ -15,7 +15,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_dryrun_multichip_self_provisions_virtual_mesh():
+import pytest
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_dryrun_multichip_self_provisions_virtual_mesh(n):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # strip any device-count override so the outer process sees ONE device,
@@ -28,7 +32,7 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "assert len(jax.devices()) == 1, jax.devices(); "
-        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+        "import __graft_entry__ as g; g.dryrun_multichip({n})".format(n=n)
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
@@ -40,3 +44,6 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
     )
     assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
     assert "one synth-fused train step OK" in proc.stdout, proc.stdout
+    # the driver may ask for any even count; the mesh must be n//2 x 2 with
+    # FSDP actually in effect (dryrun itself asserts the shardings)
+    assert f"mesh data={n // 2} x model=2" in proc.stdout, proc.stdout
