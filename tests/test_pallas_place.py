@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from adt_str_tpu.synth.pallas_place import place_notes
+from adt_str_tpu.synth.pallas_place import gather_blend, place_notes
 
 
 def oracle(blend, slot, onset, gain, chunk):
@@ -65,6 +65,34 @@ def test_place_notes_empty():
         )
     )
     assert (out == 0).all()
+
+
+@pytest.mark.parametrize(
+    "n_rows,n_req,req_tile",
+    [
+        (37, 13, 8),  # n_req not a multiple of req_tile (padding path)
+        (192, 64, 8),  # production-shaped
+        (50, 8, 16),  # req_tile > n_req (clamped to n_req)
+        (21, 6, 1),  # degenerate one-request tile
+    ],
+)
+def test_gather_blend_matches_oracle(n_rows, n_req, req_tile):
+    """The request-tiled bank gather+mixup kernel vs fancy indexing."""
+    rng = np.random.default_rng(n_rows + n_req)
+    L = 256
+    table = rng.normal(size=(n_rows, L)).astype(np.float32)
+    im = rng.integers(0, n_rows, n_req).astype(np.int32)
+    isub = rng.integers(0, n_rows, n_req).astype(np.int32)
+    lam = rng.uniform(0, 0.8, n_req).astype(np.float32)
+    out = np.asarray(
+        gather_blend(
+            jnp.asarray(table), jnp.asarray(im), jnp.asarray(isub),
+            jnp.asarray(lam), interpret=True, req_tile=req_tile,
+        )
+    )
+    ref = (1 - lam[:, None]) * table[im] + lam[:, None] * table[isub]
+    assert out.shape == (n_req, L)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
 def test_place_notes_bf16_stream():

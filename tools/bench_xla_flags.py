@@ -7,6 +7,14 @@ process-global) and the best-of-3-window steps/s is recorded.
 
 Writes tools/xla_flags_bench.json and prints one line per case.
 
+MEASURED RESULT on this image (2026-08-18, recorded in the JSON): the axon
+tunnel client's XLA build does not register the TPU backend's flag namespace
+— every `--xla_tpu_*` flag dies in `parse_flags_from_env` with "Unknown
+flag" before the program reaches the remote compiler, so compiler-flag
+tuning is not reachable through this tunnel. On a real TPU VM (libtpu
+in-process) the same flags parse; re-run the sweep there. Baseline case
+(no extra flags) measured 13.864 steps/s, matching bench.py.
+
 Usage: python tools/bench_xla_flags.py [--only baseline,lhs]
 """
 
