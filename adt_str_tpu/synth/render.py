@@ -207,6 +207,7 @@ def _sample_timbre_rows(
         "use_limiter_prob",
         "n_allowed",
         "adtof",
+        "pallas",
     ),
 )
 def render_batch_arrays(
@@ -223,8 +224,16 @@ def render_batch_arrays(
     use_limiter_prob: float = 0.5,
     n_allowed: int = 3,
     adtof: bool = False,
+    pallas: str = "auto",
 ) -> jnp.ndarray:
-    """(B, chunk_samples) batched synthesis (see module docstring)."""
+    """(B, chunk_samples) batched synthesis (see module docstring).
+
+    `pallas` selects the placement/gather implementation: "auto" uses the
+    Pallas kernels on TPU and the portable FFT path elsewhere (production
+    behavior); "interpret" forces the Pallas TPU path through the Pallas
+    interpreter so the production kernel INTEGRATION (gather_blend +
+    place_notes wiring, peak-norm folding, slot silencing) is testable on
+    the CPU suite; "xla" forces the portable path."""
     B, max_notes, _ = notes.shape
     L = statics.waveforms.shape[1]
     P = chunk_samples + L  # padded conv length; overruns land in the slack
@@ -243,7 +252,19 @@ def render_batch_arrays(
     lam = jax.vmap(
         lambda k: jax.random.uniform(k, (N_SLOTS, 1), maxval=mixup_range)
     )(k_mix)
-    on_tpu = jax.default_backend() != "cpu" and chunk_samples % 128 == 0
+    if pallas not in ("auto", "interpret", "xla"):
+        raise ValueError(f"pallas must be auto|interpret|xla, got {pallas!r}")
+    interpret = pallas == "interpret"
+    if interpret and (chunk_samples % 128 or L % 128):
+        raise ValueError(
+            "pallas='interpret' needs 128-aligned chunk_samples and one-shot "
+            f"length (got chunk={chunk_samples}, L={L})"
+        )
+    on_tpu = interpret or (
+        pallas == "auto"
+        and jax.default_backend() != "cpu"
+        and chunk_samples % 128 == 0
+    )
     if on_tpu and L % 128 == 0:
         # fused Pallas gather+blend: XLA lowers the bank row gather to a
         # row-at-a-time loop (measured 4.3 ms of the flagship render); the
@@ -256,6 +277,7 @@ def render_batch_arrays(
             main_rows.reshape(-1),
             sub_rows.reshape(-1),
             lam.reshape(-1),
+            interpret=interpret,
         ).reshape(B, N_SLOTS, L)
     else:
         # blend in the bank's dtype (bf16 on TPU): the gathers and the single
@@ -299,9 +321,13 @@ def render_batch_arrays(
 
         l_pad = ((L + 127) // 128) * 128
         blend_padded = jnp.pad(blend, ((0, 0), (0, 0), (0, l_pad - L)))
+        # interpret mode keeps the statics dtype so the integration test can
+        # compare against the portable path at f32 tolerance; real TPU runs
+        # stream bf16 (see place_notes docstring)
         wav = place_notes(
             blend_padded, slot, onset_sample, gain, chunk_samples,
-            stream_dtype=jnp.bfloat16,
+            interpret=interpret,
+            stream_dtype=statics.waveforms.dtype if interpret else jnp.bfloat16,
         )
     else:
         # portable path: per-slot impulse trains convolved in the frequency

@@ -141,6 +141,62 @@ def test_render_batch_shapes(statics):
     assert not np.array_equal(wavs[0], wavs[1])
 
 
+def test_render_pallas_interpret_matches_portable_path():
+    """The production TPU render INTEGRATION — gather_blend + place_notes
+    wiring inside render_batch_arrays (peak-norm folding into gains, slot
+    silencing, FX compaction on top) — matches the portable FFT path on
+    identical PRNG draws. The kernels have interpret-mode unit tests
+    (test_pallas_place.py); this pins the composition, which otherwise only
+    runs on the real chip."""
+    from adt_str_tpu.synth.render import render_batch_arrays
+
+    rng = np.random.default_rng(3)
+    bank = make_test_bank(rng, PITCHES, sample_rate=SR, max_len=512)
+    statics = SynthStatics.from_bank(bank)
+    B, max_notes, chunk = 4, 24, 1280
+    notes = np.zeros((B, max_notes, 4), np.float32)
+    mask = np.zeros((B, max_notes), bool)
+    for b in range(B):
+        n = int(rng.integers(4, max_notes))
+        on = np.sort(rng.uniform(0, chunk / SR - 0.07, n)).astype(np.float32)
+        notes[b, :n] = np.stack(
+            [on, on + 0.05, rng.choice(PITCHES, n), rng.integers(1, 127, n)], 1
+        )
+        mask[b, :n] = True
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    kw = dict(
+        chunk_samples=chunk, sample_rate=SR, mixup_range=0.5,
+        use_fx_prob=0.3, n_allowed=3,
+    )
+    out_xla = render_batch_arrays(
+        statics, jnp.asarray(notes), jnp.asarray(mask), keys, pallas="xla", **kw
+    )
+    out_pl = render_batch_arrays(
+        statics, jnp.asarray(notes), jnp.asarray(mask), keys,
+        pallas="interpret", **kw
+    )
+    assert np.abs(np.asarray(out_xla)).max() > 0  # non-trivial render
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_xla), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_render_pallas_arg_validated():
+    from adt_str_tpu.synth.render import render_batch_arrays
+
+    rng = np.random.default_rng(0)
+    bank = make_test_bank(rng, PITCHES, sample_rate=SR, max_len=512)
+    statics = SynthStatics.from_bank(bank)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1))
+    args = (statics, jnp.zeros((1, 4, 4)), jnp.zeros((1, 4), bool), keys)
+    with pytest.raises(ValueError, match="pallas"):
+        render_batch_arrays(*args, chunk_samples=1280, sample_rate=SR, pallas="gpu")
+    with pytest.raises(ValueError, match="128-aligned"):
+        # chunk not 128-aligned: interpret mode refuses instead of silently
+        # testing the portable path
+        render_batch_arrays(*args, chunk_samples=1000, sample_rate=SR, pallas="interpret")
+
+
 def test_pad_notes_validates():
     with pytest.raises(ValueError):
         pad_notes(np.array([[0.1, 0.2, 99, 100]], dtype=np.float32), 8)
