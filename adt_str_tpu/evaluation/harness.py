@@ -67,6 +67,31 @@ def decode_tokens_to_notes(
     return pred_notes.reshape(-1, 4) if pred_notes.size else np.zeros((0, 4), np.float32)
 
 
+def merge_chunk_notes(all_notes: list, snap_to_grid: bool = False) -> np.ndarray:
+    """Concatenate per-chunk time-shifted note arrays and row-dedup
+    (`np.unique`, the chunk-merge of reference inference.py:122-127 and
+    youtube_drum_pipeline.py:176).
+
+    `snap_to_grid` (overlap-hop mode only) re-quantizes the shifted times to
+    one canonical float per 10 ms grid point before the dedup: `k*0.01 +
+    chunk_start` computed from different (k, start) pairs for the SAME
+    absolute grid time differs by an ulp in fp32 for ~40% of grid points
+    (measured), so exact-equality dedup leaks overlap duplicates into the
+    output — the reference's hop pipeline has the same leak at
+    youtube_drum_pipeline.py:160-176 (documented divergence, not
+    replicated). Non-hop merges stay bit-exact to the reference: duplicates
+    there only arise within one chunk, where rows are already bitwise
+    equal."""
+    if not all_notes:
+        return np.zeros((0, 4), dtype=np.float32)
+    notes = np.concatenate(all_notes, axis=0)
+    if snap_to_grid:
+        notes[:, 0:2] = (
+            np.round(notes[:, 0:2].astype(np.float64) * 100.0) / 100.0
+        ).astype(np.float32)
+    return np.unique(notes, axis=0)
+
+
 def run_inference(
     params,
     model_config: ModelConfig,

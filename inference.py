@@ -27,7 +27,7 @@ pin_jax_platform_from_env()
 
 from adt_str_tpu.config import FrameworkConfig
 from adt_str_tpu.domain.tokenizer import MidiTokenizer
-from adt_str_tpu.evaluation.harness import decode_tokens_to_notes
+from adt_str_tpu.evaluation.harness import decode_tokens_to_notes, merge_chunk_notes
 from adt_str_tpu.models import decode as decode_lib
 from adt_str_tpu.training.checkpoint import load_params_from_reference_checkpoint
 from adt_str_tpu.utils.audio_io import load_and_resample, write_wav
@@ -100,10 +100,7 @@ def transcribe(
         if len(notes):
             notes[:, 0:2] += start / cfg.shared.sample_rate
             all_notes.append(notes)
-    if not all_notes:
-        return np.zeros((0, 4), dtype=np.float32)
-    notes = np.concatenate(all_notes, axis=0)
-    return np.unique(notes, axis=0)
+    return merge_chunk_notes(all_notes, snap_to_grid=hop_sec is not None)
 
 
 def main() -> None:

@@ -110,9 +110,11 @@ def run_model_on_chunks(
         if len(notes):
             notes[:, 0:2] += start / sr
             all_notes.append(notes)
-    if not all_notes:
-        return np.zeros((0, 4), dtype=np.float32)
-    return np.unique(np.concatenate(all_notes, axis=0), axis=0)
+    from adt_str_tpu.evaluation.harness import merge_chunk_notes
+
+    # snap under hop: the reference's own overlap dedup leaks fp32-ulp
+    # duplicates (youtube_drum_pipeline.py:160-176; see merge_chunk_notes)
+    return merge_chunk_notes(all_notes, snap_to_grid=hop_samples is not None)
 
 
 def remap_notes_for_synth(notes: np.ndarray, adtof: bool, rng: np.random.Generator) -> np.ndarray:

@@ -169,6 +169,35 @@ def test_hdf5_packer_cli(tmp_path):
     assert set(bank.pitches()) == {38, 42}
 
 
+def test_merge_chunk_notes_dedups_across_ulp_variants():
+    """Hop-mode dedup must collapse the SAME absolute grid time reached from
+    different (local-grid, chunk-start) pairs: `k*0.01 + start` differs by an
+    fp32 ulp for ~40% of grid points, which exact-equality np.unique keeps
+    as duplicates (the bug this pins down). Non-hop mode must stay bit-exact
+    (no re-quantization of reference-parity outputs)."""
+    sys.path.insert(0, str(REPO))
+    from inference import merge_chunk_notes
+
+    # absolute time 0.66 s, seen as k=66/start=0 and k=2/start=0.64 — fp32
+    # representations differ by one ulp (measured)
+    a = np.array([[np.float32(66 * 0.01), np.float32(66 * 0.01 + 0.1), 38, 90]],
+                 np.float32)
+    b = np.array([[np.float32(2 * 0.01) + np.float32(0.64),
+                   np.float32(2 * 0.01 + 0.1) + np.float32(0.64), 38, 90]],
+                 np.float32)
+    assert a[0, 0] != b[0, 0]  # the ulp divergence this test exists for
+    merged = merge_chunk_notes([a, b], snap_to_grid=True)
+    assert merged.shape == (1, 4)
+    assert merged[0, 0] == np.float32(0.66)
+    # distinct grid times stay distinct
+    c = np.array([[0.67, 0.77, 38, 90]], np.float32)
+    assert merge_chunk_notes([a, c], snap_to_grid=True).shape == (2, 4)
+    # non-hop path: bitwise passthrough + dedup only
+    out = merge_chunk_notes([a, b], snap_to_grid=False)
+    assert out.shape == (2, 4)  # ulp variants are (correctly) not merged here
+    assert merge_chunk_notes([], snap_to_grid=True).shape == (0, 4)
+
+
 def test_inference_cli_hop(tmp_path, checkpoint_dir):
     """--hop_sec decodes overlapping chunks (framework addition: boundary
     notes get an uncut view); the CLI must run end to end and dedup."""
