@@ -236,6 +236,46 @@ def test_dropout_custom_vjp_mask_consistency():
     np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / 0.75, rtol=1e-6)
 
 
+def test_dropout_mask_row_statistics():
+    """Pins the hash-mask quality properties that cheap hash variants break.
+
+    Measured failure mode (round 3, BENCHMARKS.md): dropping the second
+    murmur round saves ~1-3 ms/step on chip but maps row offsets to
+    hash-space offsets, producing (a) near-duplicate mask rows (|corr| up to
+    0.995 at resonant row pairs), (b) strong short-lag autocorrelation
+    (0.75 at lag 4), and (c) a collapse of the per-row keep-rate variance
+    to ~0.06x binomial (the masks become low-discrepancy instead of iid).
+    All three are invisible to mean/scale tests; this test measures them at
+    an FFN-hidden-like shape so a future "faster hash" cannot silently
+    regress mask quality."""
+    from adt_str_tpu.models.transformer import _hash_mask, _seed_from_key
+
+    keep = 0.5  # worst case for all three statistics
+    rows, cols = 2048, 3072
+    seed = _seed_from_key(jax.random.PRNGKey(11))
+    m = np.asarray(_hash_mask((rows, cols), seed, keep))
+    mf = m.astype(np.float32) - keep
+
+    # (c) per-row keep-rate spread ~ binomial (iid ratio 1.0; broken: 0.04)
+    sd_ratio = m.mean(axis=1).std() / np.sqrt(keep * (1 - keep) / cols)
+    assert 0.7 < sd_ratio < 1.4, sd_ratio
+
+    # (a) no near-duplicate rows: adjacent pairs + a deterministic sample
+    rng = np.random.default_rng(0)
+    pairs = [(i, i + 1) for i in range(rows - 1)]
+    pairs += [tuple(sorted(rng.choice(rows, 2, replace=False))) for _ in range(500)]
+    denom = keep * (1 - keep) * cols
+    cmax = max(abs(float(mf[i] @ mf[j])) / denom for i, j in pairs)
+    assert cmax < 0.4, cmax  # production hash measures <= ~0.17; broken: 0.99
+
+    # (b) short-lag and col-stride autocorrelation of the flat mask
+    flat = mf.reshape(-1)
+    n = flat.size
+    for lag in list(range(1, 17)) + [cols, 2 * cols]:
+        c = abs(float(flat[:-lag] @ flat[lag:])) / (keep * (1 - keep) * (n - lag))
+        assert c < 0.1, (lag, c)  # production: <= ~0.005; broken: 0.75 @ lag 4
+
+
 def test_dropout_masks_decorrelated_across_keys():
     """Different PRNG keys (as produced by per-site jax.random.split) must
     yield ~independent masks, and the hash must not alias across adjacent
