@@ -57,15 +57,32 @@ def _proj_kv(p_attn: Params, x: jnp.ndarray, nhead: int) -> tuple[jnp.ndarray, j
 
 
 def init_caches(
-    params: Params, memory: jnp.ndarray, config: ModelConfig, max_len: int
+    params: Params,
+    memory: jnp.ndarray,
+    config: ModelConfig,
+    max_len: int,
+    beam_size: int | None = None,
 ) -> DecoderCaches:
+    """Cross K/V are precomputed from `memory`; self caches start zeroed.
+
+    Greedy self caches are (L, B, H, max_len, hd). Beam self caches use a
+    slot-INNER layout (L, B, H, max_len, K, hd): with the slot axis adjacent
+    to the contraction axes, `_anc_attention`'s two einsums are clean batched
+    matmuls over batch dims (b, h) — no per-step physical transpose of the
+    full cache (the slot-outer layout forced XLA to relayout ~(B*K, H, T,
+    hd) twice per layer-step)."""
     compute = jnp.dtype(config.compute_dtype)
     layers = params["decoder"]["layers"]
     B = memory.shape[0]
     H, hd = config.nhead, config.d_query
     mem = memory.astype(compute)
     k_cross, v_cross = zip(*(_proj_kv(l["cross_attn"], mem, H) for l in layers))
-    zeros = jnp.zeros((len(layers), B, H, max_len, hd), compute)
+    if beam_size is None:
+        zeros = jnp.zeros((len(layers), B, H, max_len, hd), compute)
+    else:
+        zeros = jnp.zeros(
+            (len(layers), B // beam_size, H, max_len, beam_size, hd), compute
+        )
     return DecoderCaches(
         k_self=zeros,
         v_self=zeros,
@@ -76,8 +93,8 @@ def init_caches(
 
 def _anc_attention(
     q: jnp.ndarray,  # (B*K, H, 1, hd)
-    k: jnp.ndarray,  # (B*K, H, T, hd) slot-local cache (never beam-reordered)
-    v: jnp.ndarray,  # (B*K, H, T, hd)
+    k: jnp.ndarray,  # (B, H, T, K, hd) slot-inner cache (never beam-reordered)
+    v: jnp.ndarray,  # (B, H, T, K, hd)
     anc: jnp.ndarray,  # (B, K, T, K) one-hot: slot holding beam k's position-t row
     step: jnp.ndarray,
 ) -> jnp.ndarray:
@@ -90,18 +107,20 @@ def _anc_attention(
     the selected values are bit-exact dot products, identical to attending
     over a physically reordered cache. Costs K x the (tiny) attention flops
     and zero cache traffic, vs the reorder's full-cache read+write per step.
+    The cache is slot-INNER (see `init_caches`) so both einsums below have
+    batch dims (b, h) leading and contraction dims trailing — XLA lowers
+    them to plain batched matmuls with no physical cache relayout.
     """
     BK, H, _, hd = q.shape
     T_len = k.shape[2]
     K = anc.shape[1]
     B = BK // K
-    qb = q.reshape(B, K, H, hd)
-    kb = k.reshape(B, K, H, T_len, hd)
-    vb = v.reshape(B, K, H, T_len, hd)
+    qb = q.reshape(B, K, H, hd).transpose(0, 2, 1, 3)  # (B, H, K, hd) — tiny
     scores = jnp.einsum(
-        "bkhd,bjhtd->bhkjt", qb, kb, preferred_element_type=jnp.float32
+        "bhkd,bhtjd->bhktj", qb, k, preferred_element_type=jnp.float32
     ) / math.sqrt(hd)
-    sel = jnp.einsum("bhkjt,bktj->bhkt", scores, anc.astype(jnp.float32))
+    ancf = anc.astype(jnp.float32)  # (B, K, T, J)
+    sel = jnp.einsum("bhktj,bktj->bhkt", scores, ancf)
     pos = jnp.arange(T_len)
     sel = sel + jnp.where(pos[None, None, None, :] > step, T.NEG_MASK, 0.0)
     probs = jax.nn.softmax(sel, axis=-1).astype(q.dtype)  # (B, H, K, T)
@@ -109,9 +128,9 @@ def _anc_attention(
     # 0/1 one-hot: exact); unwritten positions hold zero rows, so the
     # near-zero masked probabilities contribute exactly 0, as in the
     # contiguous-cache path
-    pf = probs[:, :, :, None, :] * anc.transpose(0, 1, 3, 2)[:, None].astype(q.dtype)
-    out = jnp.einsum("bhkjt,bjhtd->bkhd", pf, vb)
-    return out.reshape(BK, H, 1, hd)
+    w = probs[:, :, :, :, None] * anc[:, None].astype(q.dtype)  # (B, H, K, T, J)
+    out = jnp.einsum("bhktj,bhtjd->bhkd", w, v)
+    return out.transpose(0, 2, 1, 3).reshape(BK, H, 1, hd)
 
 
 def decode_step(
@@ -147,15 +166,33 @@ def decode_step(
         q = T.split_heads(x @ w[:, :d] + b[:d], H)  # (B, H, 1, hd)
         k_new = T.split_heads(x @ w[:, d : 2 * d] + b[d : 2 * d], H)
         v_new = T.split_heads(x @ w[:, 2 * d :] + b[2 * d :], H)
-        k_self = jax.lax.dynamic_update_slice(
-            k_self, k_new[None], (li, 0, 0, step, 0)
-        )
-        v_self = jax.lax.dynamic_update_slice(
-            v_self, v_new[None], (li, 0, 0, step, 0)
-        )
         if anc is None:
+            k_self = jax.lax.dynamic_update_slice(
+                k_self, k_new[None], (li, 0, 0, step, 0)
+            )
+            v_self = jax.lax.dynamic_update_slice(
+                v_self, v_new[None], (li, 0, 0, step, 0)
+            )
             attn = T.attention_core(q, k_self[li], v_self[li], self_mask)
         else:
+            # slot-inner cache layout (L, Bt, H, T, K, hd): reshape the new
+            # rows (B*K, H, 1, hd) -> (Bt, H, 1, K, hd) and write one
+            # position for all K slots in a single contiguous-ish update
+            K = anc.shape[-1]
+            Bt = B // K
+            hd = k_new.shape[-1]
+
+            def _to_slot_inner(r):
+                return r[:, :, 0].reshape(Bt, K, H, hd).transpose(0, 2, 1, 3)[
+                    :, :, None
+                ]  # (Bt, H, 1, K, hd)
+
+            k_self = jax.lax.dynamic_update_slice(
+                k_self, _to_slot_inner(k_new)[None], (li, 0, 0, step, 0, 0)
+            )
+            v_self = jax.lax.dynamic_update_slice(
+                v_self, _to_slot_inner(v_new)[None], (li, 0, 0, step, 0, 0)
+            )
             attn = _anc_attention(q, k_self[li], v_self[li], anc, step)
         attn = T.linear(p_sa["out_proj"], T.merge_heads(attn))
         x = T.layer_norm(layer["norm1"], x + attn)
@@ -249,7 +286,7 @@ def beam_search_decode(
     NEG = -1e9
 
     mem_beam = jnp.repeat(memory, K, axis=0)  # (B*K, S, d)
-    caches = init_caches(params, mem_beam, config, max_length)
+    caches = init_caches(params, mem_beam, config, max_length, beam_size=K)
     # slot-local token store: row k records the token slot k consumed at each
     # position; rows are never beam-reordered (the final sequence is
     # reconstructed from the ancestor matrix)
