@@ -39,7 +39,9 @@ Params = dict[str, Any]
 
 
 class DecoderCaches(NamedTuple):
-    # self-attention caches: (L, B, H, max_len, head_dim)
+    # self-attention caches — two layouts, see init_caches:
+    #   greedy:          (L, B, H, max_len, head_dim)
+    #   beam slot-inner: (L, B, H, max_len, K, head_dim)
     k_self: jnp.ndarray
     v_self: jnp.ndarray
     # precomputed cross-attention K/V: (L, B, H, S, head_dim)

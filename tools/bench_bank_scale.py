@@ -154,7 +154,7 @@ def main() -> None:
         "slowdown": big_ms / toy_ms,
     }
     out = Path(__file__).parent / "bank_scale_bench.json"
-    out.write_text(json.dumps(results, indent=2))
+    out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"slowdown at scale: {big_ms/toy_ms:.2f}x; wrote {out}")
 
 

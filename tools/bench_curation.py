@@ -290,7 +290,7 @@ def main() -> None:
     )
 
     out = Path(__file__).parent / "curation_bench.json"
-    out.write_text(json.dumps(results, indent=2))
+    out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"wrote {out}")
 
 

@@ -91,7 +91,7 @@ def main() -> None:
             results[f"{mode}_bs{bs}_s_per_batch"] = round(dt, 4)
             print(f"{mode:6s} bs{bs:3d}: {bs/dt:8.1f} items/s ({dt*1e3:.1f} ms/batch)")
 
-    Path(args.out).write_text(json.dumps(results, indent=2))
+    Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results))
 
 

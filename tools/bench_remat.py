@@ -136,7 +136,7 @@ def main() -> None:
                 results["device"] = dev
             print(tag, results[tag], flush=True)
 
-    Path(args.out).write_text(json.dumps(results, indent=2))
+    Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results))
 
 

@@ -78,7 +78,7 @@ def main() -> None:
     for name in names:
         results[name] = run_case(name, CASES[name], args.timeout)
         print(name, results[name], flush=True)
-    Path(args.out).write_text(json.dumps(results, indent=2))
+    Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
 
 
 if __name__ == "__main__":

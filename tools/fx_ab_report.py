@@ -118,7 +118,7 @@ def main() -> None:
     }
 
     out = Path(__file__).parent / "fx_ab_report.json"
-    out.write_text(json.dumps(report, indent=2))
+    out.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps(report, indent=2))
 
 

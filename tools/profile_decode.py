@@ -98,7 +98,7 @@ def main() -> None:
         "cache_buffer_per_128_positions": round((m512 - m128) / 3.0, 4),
     }
     print(json.dumps(results["decomposition_ms_per_step"]))
-    Path(args.out).write_text(json.dumps(results, indent=2))
+    Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
 
 
 if __name__ == "__main__":

@@ -291,7 +291,7 @@ def main() -> None:
             result["eval_metrics"] = json.loads(metrics_path.read_text())["all"]
 
     print(json.dumps(result))
-    (td / "validation_result.json").write_text(json.dumps(result, indent=2))
+    (td / "validation_result.json").write_text(json.dumps(result, indent=2) + "\n")
     # gate on EVERY stage that ran: an eval.py crash must fail the round trip
     sys.exit(0 if ok and result.get("eval_ok", True) else 1)
 
