@@ -140,7 +140,7 @@ class MidiTokenizer:
     # ------------------------------------------------------------------- decode
 
     def decode(self, tokens) -> np.ndarray:
-        """Token sequence -> [onset, onset+0.1, pitch, velocity] float32 rows.
+        """Token sequence -> [onset, onset+0.1, pitch, velocity] float64 rows.
 
         Faithful port of `modules/midi_tokenizer.py:69-100` including its
         quirks: pitch tokens only attach when the immediately preceding index
@@ -148,6 +148,15 @@ class MidiTokenizer:
         positionally (a dangling time token shifts alignment); when no velocity
         tokens decoded at all, velocity defaults to 100; under ADTOF the pitch
         is passed through the ADTOF map again (idempotent on ADTOF classes).
+
+        dtype parity (metric-affecting): the reference's eval path feeds
+        `decode` numpy-int64 scalars, so `(token-4)/100` is float64 and
+        `torch.tensor(notes)` INFERS float64 (modules/midi_tokenizer.py:78,100
+        + eval.py:377) — predicted onsets reach the matcher as exact float64
+        grid values (0.04), not widened float32 (0.03999999910593...). At
+        |dt| == 0.05 boundaries the two differ after mir_eval's 12-decimal
+        rounding and flip matches; returning float32 here measurably changed
+        aggregate F1 (caught by tests/test_cross_harness_eval.py).
         """
         from adt_str_tpu.native import native
 
@@ -159,7 +168,7 @@ class MidiTokenizer:
                 self.BOS_token,
                 self.EOS_token,
             )
-            return np.array(rows, dtype=np.float32)
+            return np.array(rows, dtype=np.float64)
         return self._decode_python(tokens)
 
     def _decode_python(self, tokens) -> np.ndarray:
@@ -197,7 +206,7 @@ class MidiTokenizer:
                 onsets.values(), pitches.values(), velocities.values()
             )
         ]
-        return np.array(notes, dtype=np.float32)
+        return np.array(notes, dtype=np.float64)
 
     def batch_decode(self, token_batch) -> list[np.ndarray]:
         return [self.decode(tokens) for tokens in token_batch]

@@ -64,7 +64,7 @@ def decode_tokens_to_notes(
     if pred_notes.size:
         pred_notes = pred_notes[pred_notes[:, 3] >= 0]
         pred_notes = np.unique(pred_notes, axis=0)
-    return pred_notes.reshape(-1, 4) if pred_notes.size else np.zeros((0, 4), np.float32)
+    return pred_notes.reshape(-1, 4) if pred_notes.size else np.zeros((0, 4), np.float64)
 
 
 def merge_chunk_notes(all_notes: list, snap_to_grid: bool = False) -> np.ndarray:
