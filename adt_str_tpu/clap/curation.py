@@ -83,6 +83,7 @@ def encode_files(
     batch_size: int,
     num_workers: int | None = None,
     skip_errors: bool = True,
+    mesh=None,
 ) -> tuple[np.ndarray, list[str]]:
     """Batched CLAP embedding of audio files -> ((K, 512), kept_files).
 
@@ -103,6 +104,12 @@ def encode_files(
     - every device batch is padded with silence rows to exactly
       `batch_size`, so the Swin tower compiles ONCE — a ragged final (or
       post-skip) batch would otherwise trigger a multi-minute recompile.
+
+    With `mesh`, each device batch is sharded over the mesh's data axis
+    (ClapWrapper.get_audio_features mesh path); `batch_size` is rounded up to
+    a multiple of the data-axis size so every device gets equal rows. For
+    multi-HOST encoding use `encode_files_striped` (each host decodes and
+    encodes its own file stripe).
     """
     import os
     from collections import deque
@@ -110,6 +117,9 @@ def encode_files(
 
     if num_workers is None:
         num_workers = min(16, os.cpu_count() or 1)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data
 
     def load(f):
         try:
@@ -129,7 +139,10 @@ def encode_files(
             return
         pad_rows = batch_size - len(waves)
         padded = list(waves) + [np.zeros(1024, np.float32)] * pad_rows
-        emb = wrapper.get_audio_features(padded)
+        if mesh is not None:
+            emb = wrapper.get_audio_features(padded, mesh=mesh)
+        else:
+            emb = wrapper.get_audio_features(padded)
         out.append(np.asarray(emb)[: len(waves)])
         kept.extend(names)
         if (len(kept) // batch_size) % 50 == 0:
@@ -172,8 +185,104 @@ def encode_files(
     return np.concatenate(out, axis=0), kept
 
 
+def encode_files_striped(
+    wrapper,
+    files: Sequence[str],
+    sample_rate: int,
+    batch_size: int,
+    num_workers: int | None = None,
+    skip_errors: bool = True,
+    mesh=None,
+) -> tuple[np.ndarray, list[str]]:
+    """Multi-host `encode_files`: stripe files across processes, encode each
+    stripe on that host's devices, all-gather embeddings to every host.
+
+    Each process p encodes `files[p::P]` with its OWN host decode pool and
+    local devices (a process-local data mesh over its addressable slice of
+    `mesh` when given, else its default device) — host wav decode and device
+    encode both scale with the host count, the ICI/DCN story the 1M-library
+    north star names. The gather pads each stripe's (rows, 512) result to the
+    max stripe size, ships it through one replicated-output jit over the
+    global mesh, and reassembles rows by their global file index, so every
+    process returns the identical (embeddings, kept_files) — byte-equal to a
+    single-process `encode_files` call over the same list (same per-file
+    arithmetic: batches are padded to the same static size either way).
+
+    Single-process calls degrade to plain `encode_files` (with `mesh` passed
+    through), so the CLI can call this unconditionally.
+    """
+    import jax
+
+    P_count = jax.process_count()
+    if P_count == 1:
+        return encode_files(
+            wrapper, files, sample_rate, batch_size,
+            num_workers=num_workers, skip_errors=skip_errors, mesh=mesh,
+        )
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    from adt_str_tpu.parallel import mesh as mesh_lib
+
+    pidx = jax.process_index()
+    global_mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+    # process-local data mesh: this host's addressable slice, so the stripe
+    # encode is a purely local computation (no cross-host collectives in the
+    # hot loop — only the final gather crosses DCN)
+    local_devices = [
+        d for d in global_mesh.devices.reshape(-1) if d.process_index == pidx
+    ]
+    local_mesh = (
+        mesh_lib.make_mesh(n_data=len(local_devices), n_model=1, devices=local_devices)
+        if len(local_devices) > 1
+        else None
+    )
+
+    stripe = list(files[pidx::P_count])
+    stripe_idx = np.arange(pidx, len(files), P_count, dtype=np.int64)
+    emb, kept = encode_files(
+        wrapper, stripe, sample_rate, batch_size,
+        num_workers=num_workers, skip_errors=skip_errors, mesh=local_mesh,
+    )
+    kept_set = {f: i for i, f in enumerate(stripe)}
+    kept_global_idx = np.asarray(
+        [stripe_idx[kept_set[f]] for f in kept], dtype=np.int64
+    )
+
+    # pad every process to the same row count (stripe sizes differ by <=1
+    # plus skips), rounded to the per-process device count so the global
+    # data-axis sharding places whole row blocks per device
+    n_data = global_mesh.shape["data"]
+    rows_max = -(-len(files) // P_count)
+    ldev = max(1, n_data // P_count)
+    per_proc_rows = -(-rows_max // ldev) * ldev
+    emb_pad = np.zeros((per_proc_rows, 512), np.float32)
+    emb_pad[: len(emb)] = emb
+    idx_pad = np.full((per_proc_rows,), -1, np.int64)
+    idx_pad[: len(kept_global_idx)] = kept_global_idx
+
+    sharding = NamedSharding(global_mesh, PSpec("data", None))
+    sharding1d = NamedSharding(global_mesh, PSpec("data"))
+    gather = jax.jit(
+        lambda e, i: (e, i),
+        out_shardings=(
+            NamedSharding(global_mesh, PSpec()),
+            NamedSharding(global_mesh, PSpec()),
+        ),
+    )
+    emb_all, idx_all = gather(
+        jax.make_array_from_process_local_data(sharding, emb_pad),
+        jax.make_array_from_process_local_data(sharding1d, idx_pad),
+    )
+    emb_all, idx_all = np.asarray(emb_all), np.asarray(idx_all)
+    keep = idx_all >= 0
+    order = np.argsort(idx_all[keep], kind="stable")
+    files_arr = list(files)
+    kept_files = [files_arr[int(i)] for i in idx_all[keep][order]]
+    return emb_all[keep][order], kept_files
+
+
 def reference_class_means(
-    wrapper, reference_root: str, sample_rate: int, batch_size: int
+    wrapper, reference_root: str, sample_rate: int, batch_size: int, mesh=None
 ) -> tuple[np.ndarray, list[int]]:
     """-> (C, 512) per-class mean embeddings + class labels (non-empty only)."""
     all_files = sort_paths_by_parent_folder(
@@ -194,7 +303,9 @@ def reference_class_means(
             logger.warning("ignoring non-reference-class wav %s", f)
     if not files:
         raise RuntimeError("No reference embeddings found. Please check reference_root.")
-    embeds, files = encode_files(wrapper, files, sample_rate, batch_size)
+    embeds, files = encode_files_striped(
+        wrapper, files, sample_rate, batch_size, mesh=mesh
+    )
     by_class: dict[int, list[np.ndarray]] = {k: [] for k in REFERENCE_CLASSES}
     for f, e in zip(files, embeds):
         by_class[int(Path(f).parent.name)].append(e)
@@ -257,29 +368,58 @@ def curate_library(
     wav_files = glob(f"{sample_pack_root}/**/*.[Ww][Aa][Vv]", recursive=True)
     logger.info("library: %d files", len(wav_files))
     class_means, labels = reference_class_means(
-        wrapper, reference_root, sample_rate, batch_size
+        wrapper, reference_root, sample_rate, batch_size, mesh=mesh
     )
-    sample_embeds, wav_files = encode_files(wrapper, wav_files, sample_rate, batch_size)
+    sample_embeds, wav_files = encode_files_striped(
+        wrapper, wav_files, sample_rate, batch_size, mesh=mesh
+    )
     best_idx, best_score = assign_classes(sample_embeds, class_means, mesh)
 
     augmented_root = _augmented_root_for(reference_root)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host: every process holds the full gathered assignment (so
+        # this return value is usable anywhere), but the filesystem copy is
+        # single-writer — shared-FS rmtree/copy races otherwise
+        return augmented_root
     if augmented_root.exists():
         shutil.rmtree(augmented_root)
     augmented_root.mkdir(parents=True, exist_ok=True)
 
-    copied = 0
+    # bin+copy: I/O-bound, so a thread pool scales it with the filesystem's
+    # parallelism (the 1M-library projection is copy-dominated otherwise —
+    # tools/curation_bench.json). Destination dirs are created up front; the
+    # per-file task is a single copy2.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs: list[tuple[str, Path]] = []
+    dest_dirs = set()
     for path, ci, score_value in zip(wav_files, best_idx, best_score):
         dest_dir = (
             augmented_root
             / str(labels[int(ci)])
             / score_to_bin_label(float(score_value), num_bins)
         )
-        dest_dir.mkdir(parents=True, exist_ok=True)
+        dest_dirs.add(dest_dir)
+        jobs.append((path, dest_dir / Path(path).name))
+    for d in dest_dirs:
+        d.mkdir(parents=True, exist_ok=True)
+
+    def _copy(job: tuple[str, Path]) -> int:
+        src, dst = job
         try:
-            shutil.copy2(path, dest_dir / Path(path).name)
-            copied += 1
+            shutil.copy2(src, dst)
+            return 1
         except Exception as e:  # pragma: no cover
-            logger.warning("Failed to copy %s: %s", path, e)
+            logger.warning("Failed to copy %s: %s", src, e)
+            return 0
+
+    n_workers = min(16, os.cpu_count() or 1)
+    if n_workers > 1:
+        with ThreadPoolExecutor(n_workers) as pool:
+            copied = sum(pool.map(_copy, jobs, chunksize=64))
+    else:
+        copied = sum(map(_copy, jobs))
     logger.info("Copied: %d", copied)
     return augmented_root
 

@@ -76,10 +76,36 @@ class ClapWrapper:
         )
         self._tokenizer = None
         self._model_dir = model_name_or_dir
+        self._mesh_audio_params = None  # (mesh, replicated audio params) cache
 
     # ------------------------------------------------------------------ audio
 
-    def get_audio_features(self, audios: list[np.ndarray]) -> np.ndarray:
+    def _mesh_place(self, mesh, batch: "jnp.ndarray"):
+        """-> (data-axis-sharded batch, replicated audio params) for `mesh`.
+
+        The batch dim is padded to a multiple of the data-axis size so GSPMD
+        splits it evenly; params are device_put replicated ONCE per mesh (a
+        committed single-device params tree next to a sharded batch would
+        otherwise re-transfer every call). Returns the pad row count too."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        pad = (-batch.shape[0]) % n_data
+        if pad:
+            batch = jnp.concatenate([batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)])
+        batch = jax.device_put(
+            batch, NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1))))
+        )
+        if self._mesh_audio_params is None or self._mesh_audio_params[0] is not mesh:
+            replicated = NamedSharding(mesh, P())
+            self._mesh_audio_params = (
+                mesh,
+                jax.device_put(self.audio_params, replicated),
+            )
+        return batch, self._mesh_audio_params[1], pad
+
+    def get_audio_features(self, audios: list[np.ndarray], mesh=None) -> np.ndarray:
         """list of mono 48 kHz waveforms -> (B, 512) L2-normalized embeddings.
 
         Short clips on an accelerator take the DEVICE-RESIDENT path: one wave
@@ -87,26 +113,54 @@ class ClapWrapper:
         intermediate staying in HBM. Routing through the host extractor
         instead would D2H the mel (~16 MB/batch) and re-upload the replicated
         features (~65 MB/batch) — round-3 curation-bench finding; numerics
-        are identical (same _pad_short, same device mel, longer=False)."""
+        are identical (same _pad_short, same device mel, longer=False).
+
+        With `mesh`, the batch dim is sharded over the mesh's `data` axis and
+        the tower params are replicated: GSPMD partitions the (per-sample-
+        independent) mel + HTSAT programs along batch, so encode throughput
+        scales with the data-axis device count — the pod-scale path for
+        1M-library curation (the reference encodes on ONE device in a python
+        loop, augment_data_with_CLAP.py:124-137)."""
+        import jax
+
         fx = self.feature_extractor
         arrays = [np.asarray(a).reshape(-1) for a in audios]
-        if (
+        use_device_mel = (
             fx.use_device
             and not fx.replicate_hf_longer_quirk
             and all(len(a) <= MAX_SAMPLES for a in arrays)
-        ):
+        )
+        params = self.audio_params
+        if use_device_mel:
             padded = np.stack([fx._pad_short(a) for a in arrays]).astype(np.float32)
-            mel = _device_mel(jnp.asarray(padded))  # (B, 1001, 64), on device
+            waves = jnp.asarray(padded)
+            pad = 0
+            if mesh is not None:
+                waves, params, pad = self._mesh_place(mesh, waves)
+            mel = _device_mel(waves)  # (B, 1001, 64), on device, batch-sharded
             mels = jnp.repeat(mel[:, None, :, :], 4, axis=1)
             longer = jnp.zeros((mel.shape[0],), bool)
-            out = get_audio_features(self.audio_params, mels, longer, self.audio_arch)
-            return np.asarray(out)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                longer = jax.device_put(longer, NamedSharding(mesh, P("data")))
+            out = get_audio_features(params, mels, longer, self.audio_arch)
+            out = np.asarray(out)
+            return out[: len(arrays)] if pad else out
         feats, is_longer = fx(arrays)
-        out = get_audio_features(
-            self.audio_params, jnp.asarray(feats), jnp.asarray(is_longer),
-            self.audio_arch,
-        )
-        return np.asarray(out)
+        feats, is_longer = jnp.asarray(feats), jnp.asarray(is_longer)
+        pad = 0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            feats, params, pad = self._mesh_place(mesh, feats)
+            if pad:
+                is_longer = jnp.concatenate(
+                    [is_longer, jnp.zeros((pad,), is_longer.dtype)]
+                )
+            is_longer = jax.device_put(is_longer, NamedSharding(mesh, P("data")))
+        out = np.asarray(get_audio_features(params, feats, is_longer, self.audio_arch))
+        return out[: len(arrays)] if pad else out
 
     # ------------------------------------------------------------------- text
 
