@@ -311,11 +311,16 @@ def train(cfg: FrameworkConfig) -> TrainState:
     from adt_str_tpu.data.datasets import prefetch_batches
 
     # Preemption-safe shutdown (the reference has no preemption handling,
-    # SURVEY.md §5.3): SIGTERM/SIGINT set a flag; the loop finishes the
-    # in-flight step, saves a checkpoint (single-process — in multi-host
-    # runs signal timing can straddle a step boundary and a lone host
-    # entering the orbax barrier would deadlock, so multi-host relies on the
-    # periodic save cadence + auto-resume), and exits cleanly.
+    # SURVEY.md §5.3): SIGTERM/SIGINT set a host-local flag; the loop
+    # finishes the in-flight step, saves a checkpoint, and exits cleanly.
+    #
+    # Multi-host coordination: a signal lands on ONE host at an arbitrary
+    # step boundary, and a host that breaks out alone deadlocks the others'
+    # collectives (and the orbax save barrier). So each step every host
+    # contributes its local flag to a tiny replicated global-max; the result
+    # is fetched one step LATE (the deferred-logging trick) so the collective
+    # never blocks dispatch. All hosts therefore observe the same value at
+    # the same step index and enter one final orbax save together.
     import signal
 
     stop_requested = {"flag": False}
@@ -330,6 +335,33 @@ def train(cfg: FrameworkConfig) -> TrainState:
             prev_handlers[sig] = signal.signal(sig, _on_signal)
         except ValueError:  # non-main thread (tests)
             pass
+
+    stop_check = None  # multi-host: () -> replicated jax scalar (global OR)
+    if process_count > 1 and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data_axis = mesh.shape[mesh_lib.DATA_AXIS]
+        if n_data_axis % process_count == 0:
+            flag_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+            _global_or = jax.jit(
+                lambda x: x.max(), out_shardings=NamedSharding(mesh, P())
+            )
+            local_rows = n_data_axis // process_count
+
+            def stop_check():
+                local = np.full(
+                    (local_rows,), int(stop_requested["flag"]), dtype=np.int32
+                )
+                return _global_or(
+                    jax.make_array_from_process_local_data(flag_sharding, local)
+                )
+
+        else:  # data axis not process-aligned: fall back to save cadence
+            logger.warning(
+                "data axis (%d) not divisible by process count (%d): "
+                "preemption signals fall back to the periodic save cadence",
+                n_data_axis, process_count,
+            )
 
     step_idx = start_step
     t_last = time.perf_counter()
@@ -369,7 +401,18 @@ def train(cfg: FrameworkConfig) -> TrainState:
     epoch = start_step // steps_per_epoch
     skip = start_step % steps_per_epoch
     last_saved_step = -1
+    pending_stop = None  # multi-host: last step's dispatched global-OR
     done = False
+
+    def _preemption_save() -> None:
+        nonlocal last_saved_step
+        if last_saved_step != step_idx:
+            path = ckpt_lib.save_checkpoint(
+                output_dir, state.params, state.opt_state, step_idx,
+                epoch, max_checkpoints=cfg.checkpoint.max_checkpoints,
+            )
+            last_saved_step = step_idx
+            logger.info("preemption checkpoint %s", path)
     while not done:
         epoch_rng = np.random.default_rng([cfg.experiment.seed, epoch])
         batches = prefetch_batches(
@@ -432,17 +475,18 @@ def train(cfg: FrameworkConfig) -> TrainState:
                 last_saved_step = step_idx
                 if process_index == 0:
                     logger.info("saved checkpoint %s", path)
-            # honored single-process only: in multi-host runs signal timing
-            # can straddle a step boundary and a host breaking alone would
-            # desynchronize the collectives (rely on the save cadence there)
-            if stop_requested["flag"] and process_count == 1:
-                if last_saved_step != step_idx:
-                    path = ckpt_lib.save_checkpoint(
-                        output_dir, state.params, state.opt_state, step_idx,
-                        epoch, max_checkpoints=cfg.checkpoint.max_checkpoints,
-                    )
-                    last_saved_step = step_idx
-                    logger.info("preemption checkpoint %s", path)
+            if stop_check is not None:
+                # multi-host: act on LAST step's replicated global-OR (the
+                # collective completed while this step ran — the fetch is
+                # free and every host reads the identical value), then
+                # dispatch this step's contribution
+                if pending_stop is not None and int(pending_stop):
+                    _preemption_save()  # all hosts enter the barrier together
+                    done = True
+                    break
+                pending_stop = stop_check()
+            elif stop_requested["flag"] and process_count == 1:
+                _preemption_save()
                 done = True
                 break
         epoch += 1
