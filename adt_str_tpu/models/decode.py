@@ -72,7 +72,15 @@ def init_caches(
     to the contraction axes, `_anc_attention`'s two einsums are clean batched
     matmuls over batch dims (b, h) — no per-step physical transpose of the
     full cache (the slot-outer layout forced XLA to relayout ~(B*K, H, T,
-    hd) twice per layer-step)."""
+    hd) twice per layer-step).
+
+    In beam mode `memory` is the UN-repeated (B, S, d) encoder output: all K
+    beams of an item share the same memory, so cross K/V are computed and
+    stored ONCE per item — (L, B, H, S, hd), not (L, B*K, ...). decode_step
+    reshapes the K beam queries into the query-time axis of one batched
+    cross-attention per item (bit-exact: each query row's dot products and
+    softmax are unchanged), cutting cross-K/V projection flops and cache
+    memory/bandwidth by the beam factor."""
     compute = jnp.dtype(config.compute_dtype)
     layers = params["decoder"]["layers"]
     B = memory.shape[0]
@@ -83,7 +91,7 @@ def init_caches(
         zeros = jnp.zeros((len(layers), B, H, max_len, hd), compute)
     else:
         zeros = jnp.zeros(
-            (len(layers), B // beam_size, H, max_len, beam_size, hd), compute
+            (len(layers), B, H, max_len, beam_size, hd), compute
         )
     return DecoderCaches(
         k_self=zeros,
@@ -207,8 +215,24 @@ def decode_step(
         p_ca = layer["cross_attn"]
         wc = p_ca["in_proj"]["w"].astype(compute)
         bc = p_ca["in_proj"]["b"].astype(compute)
-        qc = T.split_heads(x @ wc[:, :d] + bc[:d], H)
-        cross = T.attention_core(qc, caches.k_cross[li], caches.v_cross[li], None)
+        qc = T.split_heads(x @ wc[:, :d] + bc[:d], H)  # (B, H, 1, hd)
+        if anc is None:
+            cross = T.attention_core(qc, caches.k_cross[li], caches.v_cross[li], None)
+        else:
+            # beam: cross K/V are stored once per ITEM (Bt = B/K rows); fold
+            # the K beam queries into the query-time axis of one batched
+            # attention per item — each query row attends the shared memory
+            # independently, so this is bit-exact vs K-fold-duplicated K/V
+            K = anc.shape[-1]
+            Bt = B // K
+            hd_c = qc.shape[-1]
+            qcb = qc[:, :, 0].reshape(Bt, K, H, hd_c).transpose(0, 2, 1, 3)
+            cross = T.attention_core(
+                qcb, caches.k_cross[li], caches.v_cross[li], None
+            )  # (Bt, H, K, hd)
+            cross = (
+                cross.transpose(0, 2, 1, 3).reshape(B, H, hd_c)[:, :, None, :]
+            )
         cross = T.linear(p_ca["out_proj"], T.merge_heads(cross))
         x = T.layer_norm(layer["norm2"], x + cross)
 
@@ -292,8 +316,9 @@ def beam_search_decode(
     K = beam_size
     NEG = -1e9
 
-    mem_beam = jnp.repeat(memory, K, axis=0)  # (B*K, S, d)
-    caches = init_caches(params, mem_beam, config, max_length, beam_size=K)
+    # cross K/V are computed from the UN-repeated memory (shared by all K
+    # beams of an item — see init_caches); nothing is physically repeated
+    caches = init_caches(params, memory, config, max_length, beam_size=K)
     # slot-local token store: row k records the token slot k consumed at each
     # position; rows are never beam-reordered (the final sequence is
     # reconstructed from the ancestor matrix)

@@ -32,6 +32,19 @@ def main() -> None:
     ap.add_argument("--max-length", type=int, default=256)
     ap.add_argument("--beam-size", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint dir (framework or reference format) — decode with "
+        "TRAINED params, the regime where EOS early-exit is live (random "
+        "params never emit EOS, so every row runs to max_length: the "
+        "worst case). Audio is rendered through the run's one-shot bank "
+        "(--bank) so the model sees in-distribution input and finishes.",
+    )
+    ap.add_argument(
+        "--bank", default=None,
+        help="one-shot bank prefix (as synthetiser.oneshot_path) for "
+        "rendering in-distribution eval audio; requires --checkpoint",
+    )
     ap.add_argument("--out", default=str(Path(__file__).parent / "decode_bench.json"))
     args = ap.parse_args()
 
@@ -51,21 +64,69 @@ def main() -> None:
     from adt_str_tpu.models.decode import beam_search_decode, greedy_decode
 
     cfg = _flagship_config()
-    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    if args.checkpoint:
+        from adt_str_tpu.training.checkpoint import (
+            load_params_from_reference_checkpoint,
+        )
+
+        params = load_params_from_reference_checkpoint(args.checkpoint)
+        params = jax.device_put(params)
+    else:
+        params = adt.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
+
+    statics = synth_cfg = None
+    if args.bank:
+        from adt_str_tpu.config import SynthConfig
+        from adt_str_tpu.synth.bank import load_bank_hdf5
+        from adt_str_tpu.synth.render import SynthStatics, render_batch
+
+        bank = load_bank_hdf5(
+            f"{args.bank}@{cfg.sample_rate}.hdf5",
+            int(1.28 * cfg.sample_rate),
+        )
+        statics = SynthStatics.from_bank(bank)
+        synth_cfg = SynthConfig(
+            sample_rate=cfg.sample_rate, input_sec=cfg.input_sec,
+            mixup_range=0.8, use_fx_prob=0.0, similarity_threshold=0.8,
+            max_notes=64, max_oneshot_sec=1.28,
+        )
+        bank_pitches = [
+            int(p) for p in np.nonzero(np.asarray(bank.bin_count).sum(axis=1))[0]
+        ]
+
+    def make_wave(bs: int) -> jnp.ndarray:
+        if statics is None:
+            return jnp.asarray(
+                (rng.normal(size=(bs, cfg.chunk_samples)) * 0.2).astype(np.float32)
+            )
+        from __graft_entry__ import make_notes
+
+        notes, mask = make_notes(
+            rng, bs, max_notes=64, pitches=bank_pitches, onset_hi=2.4,
+            n_range=(4, 32),
+        )
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(bs) + 55_000)
+        return render_batch(
+            statics, jnp.asarray(notes), jnp.asarray(mask), keys, synth_cfg
+        )
 
     results: dict = {
         "max_length": args.max_length,
         "beam_size": args.beam_size,
+        "params": args.checkpoint or "random",
+        "audio": "bank-rendered" if args.bank else "noise",
         "device": str(jax.devices()[0]),
     }
 
     for bs in (16, 64):
-        wave = jnp.asarray(
-            (rng.normal(size=(bs, cfg.chunk_samples)) * 0.2).astype(np.float32)
-        )
+        # distinct pre-staged waves per repeat: never time a loop of
+        # byte-identical dispatches (elided somewhere in the axon path), and
+        # with a trained checkpoint the early-exit step count varies per
+        # batch — averaging over distinct batches is the honest figure
+        waves = [make_wave(bs) for _ in range(args.repeats)]
         for mode in ("greedy", "beam"):
-            def run():
+            def run(wave):
                 if mode == "greedy":
                     out = greedy_decode(
                         params, wave, cfg, max_length=args.max_length
@@ -80,16 +141,23 @@ def main() -> None:
                 jax.block_until_ready(out)
                 return out
 
-            np.asarray(run())  # compile + warm + drain the dispatch queue
+            np.asarray(run(waves[0]))  # compile + warm + drain the queue
             t0 = time.perf_counter()
-            for _ in range(args.repeats):
-                out = run()
+            outs = [run(w) for w in waves]
             dt = (time.perf_counter() - t0) / args.repeats
-            out = np.asarray(out)  # transfer once, outside the timer
+            out = np.asarray(outs[-1])  # transfer once, outside the timer
             assert out.shape[0] == bs
+            # mean decoded length (first EOS, excl. BOS): shows whether the
+            # EOS early exit engaged (random params never emit EOS -> ~max)
+            eos = out[:, 1:] == 3
+            lens = np.where(eos.any(axis=1), eos.argmax(axis=1) + 1, out.shape[1])
             results[f"{mode}_bs{bs}_items_per_s"] = round(bs / dt, 2)
             results[f"{mode}_bs{bs}_s_per_batch"] = round(dt, 4)
-            print(f"{mode:6s} bs{bs:3d}: {bs/dt:8.1f} items/s ({dt*1e3:.1f} ms/batch)")
+            results[f"{mode}_bs{bs}_mean_len"] = round(float(lens.mean()), 1)
+            print(
+                f"{mode:6s} bs{bs:3d}: {bs/dt:8.1f} items/s ({dt*1e3:.1f} "
+                f"ms/batch, mean len {lens.mean():.0f})"
+            )
 
     Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results))
