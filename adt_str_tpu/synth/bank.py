@@ -56,6 +56,7 @@ class OneShotBank(NamedTuple):
     bin_offset: np.ndarray  # (128, N_BINS) int32 first row of (pitch, bin)
     bin_count: np.ndarray  # (128, N_BINS) int32 rows in (pitch, bin)
     max_len: int
+    loaded_bins: int = N_BINS  # leading bins materialized (bin-capped load)
 
     @property
     def n_samples(self) -> int:
@@ -66,15 +67,26 @@ class OneShotBank(NamedTuple):
 
 
 def build_bank(
-    entries: dict[int, dict[str, list[np.ndarray]]], max_len: int
+    entries: dict[int, dict[str, list[np.ndarray]]],
+    max_len: int,
+    n_allowed_bins: int | None = None,
 ) -> OneShotBank:
-    """entries: {pitch: {bin_name: [waveform, ...]}} -> OneShotBank."""
+    """entries: {pitch: {bin_name: [waveform, ...]}} -> OneShotBank.
+
+    `n_allowed_bins` keeps only the leading eligible bins (bank capacity
+    story, see `SynthStatics.from_bank`): rows in later bins can never be
+    sampled when the render's `similarity_threshold` allows at most that many
+    bins, so dropping them is EXACT — eligible rows keep their relative order
+    within each (pitch, bin) group, and `_sample_timbre_rows` draws the same
+    waveform under the same key (row *indices* shift; row *contents* do not).
+    """
+    keep = N_BINS if n_allowed_bins is None else max(1, min(n_allowed_bins, N_BINS))
     rows: list[np.ndarray] = []
     lengths: list[int] = []
     bin_offset = np.zeros((128, N_BINS), dtype=np.int32)
     bin_count = np.zeros((128, N_BINS), dtype=np.int32)
     for pitch in sorted(entries):
-        for b, bin_name in enumerate(BIN_NAMES):
+        for b, bin_name in enumerate(BIN_NAMES[:keep]):
             waves = entries[pitch].get(bin_name, [])
             bin_offset[pitch, b] = len(rows)
             bin_count[pitch, b] = len(waves)
@@ -90,13 +102,28 @@ def build_bank(
         bin_offset=bin_offset,
         bin_count=bin_count,
         max_len=max_len,
+        loaded_bins=keep,
     )
 
 
-def load_bank_hdf5(path: str, max_len: int) -> OneShotBank:
-    """Load `<prefix>@<sr>.hdf5` (reference layout) into an OneShotBank."""
+def load_bank_hdf5(
+    path: str, max_len: int, n_allowed_bins: int | None = None
+) -> OneShotBank:
+    """Load `<prefix>@<sr>.hdf5` (reference layout) into an OneShotBank.
+
+    `n_allowed_bins` (typically `n_allowed_bins(similarity_threshold)`) skips
+    ineligible similarity bins at READ time: their HDF5 datasets are never
+    decompressed and their rows never occupy host or device memory. At the
+    production threshold 0.8 only 3 of 11 bins load — the curation bins are
+    the reference's own pruning mechanism (`tolerance_thr_to_h5_group`,
+    synthetiser.py:171-190), applied here at load instead of per draw."""
     import h5py
 
+    keep = (
+        set(BIN_NAMES)
+        if n_allowed_bins is None
+        else set(BIN_NAMES[: max(1, min(n_allowed_bins, N_BINS))])
+    )
     entries: dict[int, dict[str, list[np.ndarray]]] = {}
     with h5py.File(path, "r") as f:
         for key in f.keys():
@@ -109,11 +136,11 @@ def load_bank_hdf5(path: str, max_len: int) -> OneShotBank:
             group = f[key]
             bins: dict[str, list[np.ndarray]] = {}
             for bin_name in group.keys():
-                if bin_name not in BIN_NAMES:
+                if bin_name not in keep:
                     continue
                 bins[bin_name] = [group[bin_name][name][...] for name in group[bin_name]]
             entries[pitch] = bins
-    return build_bank(entries, max_len)
+    return build_bank(entries, max_len, n_allowed_bins=n_allowed_bins)
 
 
 def save_bank_hdf5(path: str, entries: dict[int, dict[str, list[np.ndarray]]], sample_rate: int) -> None:

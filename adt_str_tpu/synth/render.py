@@ -107,13 +107,27 @@ class SynthStatics(NamedTuple):
     member_count: jnp.ndarray  # (128,)
 
     @classmethod
-    def from_bank(cls, bank: OneShotBank, dtype=None) -> "SynthStatics":
+    def from_bank(
+        cls, bank: OneShotBank, dtype=None, hbm_limit_gib: float = 12.0
+    ) -> "SynthStatics":
         """On TPU the bank is held in bf16 by default: halves the gather
         traffic per step, and at production scale it is the only layout that
         fits — a 100k-one-shot bank at 1.28 s/24 kHz is ~6 GB in bf16 vs
         ~12 GB in f32 (v5e HBM is 16 GB). bf16 quantization sits ~-45 dB
         below each one-shot's peak — inaudible for training augmentation.
-        CPU (test) runs keep f32."""
+        CPU (test) runs keep f32.
+
+        Capacity is EXPLICIT, not an implicit OOM: banks above
+        `hbm_limit_gib` raise with the remediation list. The production
+        answer for a 1M-curated-library bank is the bin cap
+        (`load_bank_hdf5(n_allowed_bins=...)`): curation assigns each file
+        to ONE percentage bin, and the render only ever samples the bins the
+        similarity threshold allows, so a tau=0.9 run loads gold + 10% of
+        the library and a 1M-file library lands at ~6 GB bf16. The math and
+        the measured alternatives (int8, sharding) are in docs/DESIGN.md
+        "Bank capacity"; the reference streams rows from HDF5 per note
+        (synthetiser.py:163-201) and has no such limit — at the cost of the
+        per-note host I/O this framework's on-device synthesis removes."""
         import jax as _jax
 
         if dtype is None:
@@ -124,6 +138,24 @@ class SynthStatics(NamedTuple):
             raise ValueError(
                 f"bank has {bank.waveforms.shape[0]} one-shots; the f32 "
                 "one-hot table contraction is exact only below 2^24 rows"
+            )
+        gib = (
+            bank.waveforms.shape[0]
+            * bank.waveforms.shape[1]
+            * jnp.dtype(dtype).itemsize
+            / float(1 << 30)
+        )
+        if gib > hbm_limit_gib:
+            raise ValueError(
+                f"one-shot bank is {gib:.1f} GiB in {jnp.dtype(dtype).name} "
+                f"({bank.waveforms.shape[0]} rows x {bank.waveforms.shape[1]} "
+                f"samples) — over the {hbm_limit_gib:.1f} GiB device budget. "
+                "Remediations, in order: load only the eligible similarity "
+                "bins (load_bank_hdf5(..., n_allowed_bins=n_allowed_bins("
+                "similarity_threshold)) — exact, the trainer does this "
+                "automatically); raise similarity_threshold (fewer bins); "
+                "lower max_oneshot_sec (shorter rows); or raise "
+                "hbm_limit_gib if the device actually has the headroom."
             )
         table, counts = adtof_member_tables()
         return cls(

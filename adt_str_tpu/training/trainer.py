@@ -169,13 +169,27 @@ def train(cfg: FrameworkConfig) -> TrainState:
 
     synth_statics = None
     if data_cfg.dataset_name == "Lakh":
+        from adt_str_tpu.synth.bank import n_allowed_bins
+
         assert cfg.synthetiser is not None, "Synthetiser is required for Lakh dataset"
         bank_path = f"{cfg.synthetiser.oneshot_path}@{cfg.synthetiser.sample_rate}.hdf5"
         max_len = int(cfg.synthetiser.max_oneshot_sec * cfg.synthetiser.sample_rate)
-        bank = load_bank_hdf5(bank_path, max_len)
+        # bin-capped load: rows in similarity bins the threshold never allows
+        # are skipped at read time (exact — see load_bank_hdf5). This is the
+        # bank capacity story for large curated libraries (from_bank guards
+        # the device budget explicitly).
+        bank = load_bank_hdf5(
+            bank_path, max_len,
+            n_allowed_bins=n_allowed_bins(cfg.synthetiser.similarity_threshold),
+        )
         synth_statics = SynthStatics.from_bank(bank)
         dataset = LakhDataset(data_cfg, tokenizer, max_notes=cfg.synthetiser.max_notes)
-        logger.info("Lakh dataset: %d segments, bank: %d one-shots", len(dataset), bank.n_samples)
+        logger.info(
+            "Lakh dataset: %d segments, bank: %d one-shots in %d eligible "
+            "bins (%.2f GiB on device)",
+            len(dataset), bank.n_samples, bank.loaded_bins,
+            synth_statics.waveforms.size * synth_statics.waveforms.dtype.itemsize / 2**30,
+        )
     elif data_cfg.dataset_name == "TMIDT":
         dataset = TMIDTDataset(data_cfg, tokenizer)
         logger.info("TMIDT dataset: %d items", len(dataset))

@@ -154,13 +154,16 @@ def main() -> None:
     if args.synthetise_transcription and len(notes):
         import jax
 
-        from adt_str_tpu.synth.bank import load_bank_hdf5
+        from adt_str_tpu.synth.bank import load_bank_hdf5, n_allowed_bins
         from adt_str_tpu.synth.render import SynthStatics, pad_notes, render_batch
 
         print("Synthesizing transcription...")
         synth = cfg.synthetiser
         bank_path = f"{synth.oneshot_path}@{synth.sample_rate}.hdf5"
-        bank = load_bank_hdf5(bank_path, int(synth.max_oneshot_sec * synth.sample_rate))
+        bank = load_bank_hdf5(
+            bank_path, int(synth.max_oneshot_sec * synth.sample_rate),
+            n_allowed_bins=n_allowed_bins(synth.similarity_threshold),
+        )
         statics = SynthStatics.from_bank(bank)
         # render chunk-by-chunk on the input_sec grid
         from adt_str_tpu.domain.segmenter import Segmenter

@@ -224,6 +224,58 @@ def test_bank_hdf5_roundtrip(tmp_path):
     )
 
 
+def test_bin_capped_load_renders_identically(tmp_path):
+    """Loading only the eligible similarity bins is EXACT: rows in later
+    bins can never be drawn when the render's threshold allows at most
+    `n_allowed` bins, so the capped bank renders bit-identical audio under
+    the same keys (row indices shift; selected waveforms do not)."""
+    rng = np.random.default_rng(7)
+    entries = {
+        p: {
+            b: [rng.normal(size=int(rng.integers(64, 256))).astype(np.float32)
+                for _ in range(3)]
+            for b in ("gold", "100-90", "90-80", "70-60", "30-20", "10-0")
+        }
+        for p in PITCHES
+    }
+    path = str(tmp_path / "capbank@8000.hdf5")
+    save_bank_hdf5(path, entries, SR)
+
+    n_allowed = n_allowed_bins(0.8)  # 3 bins eligible
+    full = load_bank_hdf5(path, max_len=256)
+    capped = load_bank_hdf5(path, max_len=256, n_allowed_bins=n_allowed)
+    assert capped.loaded_bins == n_allowed
+    assert full.loaded_bins == 11
+    # 6 bins x 3 waves per pitch in the file; only 3 bins' rows load
+    assert full.n_samples == len(PITCHES) * 6 * 3
+    assert capped.n_samples == len(PITCHES) * 3 * 3
+
+    notes, mask = pad_notes(
+        np.array([[0.05, 0.1, 35, 100], [0.3, 0.4, 42, 80],
+                  [0.7, 0.8, 48, 120]], dtype=np.float32), 8
+    )
+    kw = dict(chunk_samples=cfg().chunk_samples, sample_rate=SR,
+              mixup_range=0.5, use_fx_prob=0.0, n_allowed=n_allowed)
+    a = np.asarray(render_segment(
+        SynthStatics.from_bank(full), jnp.asarray(notes), jnp.asarray(mask),
+        jax.random.PRNGKey(3), **kw,
+    ))
+    b = np.asarray(render_segment(
+        SynthStatics.from_bank(capped), jnp.asarray(notes), jnp.asarray(mask),
+        jax.random.PRNGKey(3), **kw,
+    ))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a).max() > 0  # the comparison is not silence == silence
+
+
+def test_from_bank_guards_device_budget(bank):
+    """Oversized banks raise the explicit capacity error (with remediation),
+    never an implicit device OOM."""
+    with pytest.raises(ValueError, match="device budget"):
+        SynthStatics.from_bank(bank, hbm_limit_gib=1e-6)
+    SynthStatics.from_bank(bank)  # production default accepts the test bank
+
+
 def test_fx_chain_runs_and_preserves_shape():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=SR).astype(np.float32) * 0.3)
