@@ -19,6 +19,7 @@ import pytest
 
 
 @pytest.mark.parametrize("n", [4, 8])
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_virtual_mesh(n):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -43,7 +44,22 @@ def test_dryrun_multichip_self_provisions_virtual_mesh(n):
         timeout=900,
     )
     assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
-    assert "one synth-fused train step OK" in proc.stdout, proc.stdout
-    # the driver may ask for any even count; the mesh must be n//2 x 2 with
-    # FSDP actually in effect (dryrun itself asserts the shardings)
+    assert "synth-fused train step OK" in proc.stdout, proc.stdout
+    # both production layouts must run: pure DP(+FSDP) and DP x TP (the
+    # dryrun itself asserts the shardings + compiled collectives took effect)
+    assert f"mesh data={n} x model=1" in proc.stdout, proc.stdout
     assert f"mesh data={n // 2} x model=2" in proc.stdout, proc.stdout
+    # machine-readable perf record: timed steps + per-layout collective
+    # counts from the compiled HLO (the driver stores this in MULTICHIP_r*)
+    import json
+
+    perf_lines = [
+        l for l in proc.stdout.splitlines() if l.startswith("MULTICHIP_PERF ")
+    ]
+    assert len(perf_lines) == 1, proc.stdout
+    perf = json.loads(perf_lines[0].removeprefix("MULTICHIP_PERF "))
+    assert perf["n_devices"] == n
+    assert len(perf["layouts"]) == 2
+    for layout in perf["layouts"]:
+        assert layout["per_step_ms"] > 0
+        assert layout["collectives"], layout  # sharded -> collectives exist
