@@ -48,6 +48,7 @@ def _run(args, cwd=REPO):
     )
 
 
+@pytest.mark.slow
 def test_inference_cli(tmp_path, checkpoint_dir):
     wav_path = tmp_path / "in.wav"
     rng = np.random.default_rng(0)
@@ -73,6 +74,7 @@ def test_inference_cli(tmp_path, checkpoint_dir):
     assert isinstance(instruments, list)
 
 
+@pytest.mark.slow
 def test_eval_cli(tmp_path, checkpoint_dir):
     # tiny ENST-style parquet
     rng = np.random.default_rng(1)
@@ -115,6 +117,7 @@ def test_eval_cli(tmp_path, checkpoint_dir):
     assert (out_dir / "confusion_matrix.csv").exists()
 
 
+@pytest.mark.slow
 def test_inference_cli_with_resynthesis(tmp_path, checkpoint_dir):
     from adt_str_tpu.synth.bank import save_bank_hdf5
 
@@ -198,6 +201,7 @@ def test_merge_chunk_notes_dedups_across_ulp_variants():
     assert merge_chunk_notes([], snap_to_grid=True).shape == (0, 4)
 
 
+@pytest.mark.slow
 def test_inference_cli_hop(tmp_path, checkpoint_dir):
     """--hop_sec decodes overlapping chunks (framework addition: boundary
     notes get an uncut view); the CLI must run end to end and dedup."""

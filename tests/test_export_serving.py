@@ -4,6 +4,7 @@ addition — the reference has no deployable artifact, it re-runs torch code,
 model.py:260-324)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_exported_artifact_round_trip_matches_direct_decode():
     assert (got[:, 0] == 2).all()
 
 
+@pytest.mark.slow
 def test_poly_batch_export_serves_multiple_batch_sizes():
     from jax import export as jexport
 

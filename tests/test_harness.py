@@ -1,6 +1,7 @@
 """End-to-end eval harness smoke test with a tiny random model."""
 
 import json
+import pytest
 import os
 
 import numpy as np
@@ -78,6 +79,7 @@ def test_run_inference_end_to_end(tmp_path):
     assert saved["all"] == metrics["all"]
 
 
+@pytest.mark.slow
 def test_run_inference_sharded_matches_single_device(tmp_path):
     """Mesh-sharded decode (data-parallel over the virtual 8-device mesh)
     produces identical metrics to the single-device path, including a ragged

@@ -38,9 +38,12 @@ from adt_str_tpu.models import adt
 from adt_str_tpu.models.torch_compat import params_to_torch_state_dict
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(
-    not (REFERENCE / "train.py").exists(), reason="reference repo not present"
-)
+pytestmark = [
+    pytest.mark.slow,  # 120-step torch-vs-jax replay: ~2.5 min of setup
+    pytest.mark.skipif(
+        not (REFERENCE / "train.py").exists(), reason="reference repo not present"
+    ),
+]
 
 SR = 4000
 SEED = 0

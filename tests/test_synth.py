@@ -141,6 +141,7 @@ def test_render_batch_shapes(statics):
     assert not np.array_equal(wavs[0], wavs[1])
 
 
+@pytest.mark.slow
 def test_render_pallas_interpret_matches_portable_path():
     """The production TPU render INTEGRATION — gather_blend + place_notes
     wiring inside render_batch_arrays (peak-norm folding into gains, slot
@@ -362,6 +363,7 @@ def test_pitch_without_bank_entries_renders_silent(statics):
     assert np.abs(wav2).max() > 0.1
 
 
+@pytest.mark.slow
 def test_adtof_member_draw_renders_when_members_present():
     """ADTOF mode draws a member pitch before bin eligibility: a class pitch
     whose drawn member has bank entries must render (the missing-bin silence
@@ -433,6 +435,7 @@ def test_collate_trims_note_bucket():
     assert batch["tokens"].shape[1] == 64  # max 19 used -> token bucket 64
 
 
+@pytest.mark.slow
 def test_token_trim_is_loss_exact():
     """Dropping all-PAD tail token columns must not change the teacher-forced
     loss (CE ignores PAD; masks come from true lengths)."""

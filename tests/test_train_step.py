@@ -67,6 +67,7 @@ def test_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest must provide 8 virtual CPU devices"
@@ -110,6 +111,7 @@ def test_sharded_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_single_device():
     """MeshConfig.fsdp shards every large param's free dim over the data axis
     (ZeRO-3): grads/losses must match the replicated layout, params and Adam
@@ -309,6 +311,7 @@ def _split(batch, lo, hi):
     return {k: v[lo:hi] for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_equivalence():
     """2 micro-steps at bs=B with gradient_accumulation_steps=2 produce the
     same parameters as 1 step at bs=2B (reference knob train.py:239)."""
@@ -357,6 +360,7 @@ def test_gradient_accumulation_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=0)
 
 
+@pytest.mark.slow
 def test_multisteps_opt_state_checkpoint_roundtrip(tmp_path):
     """Checkpoint save/restore mid-accumulation: the MultiSteps opt_state
     (incl. accumulated grads) survives orbax and training continues exactly
@@ -398,6 +402,7 @@ def test_multisteps_opt_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=0)
 
 
+@pytest.mark.slow
 def test_remat_grads_match_plain():
     """config.remat wraps each transformer layer in jax.checkpoint: identical
     math, activations recomputed in backward. Loss and every gradient leaf
@@ -428,6 +433,7 @@ def test_remat_grads_match_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_schedule_in_update_space():
     """The LR schedule under MultiSteps must advance once per accumulation
     WINDOW (HF: scheduler steps per optimizer update, not per micro-batch).

@@ -85,6 +85,7 @@ def make_cfg(env, max_steps=4):
     )
 
 
+@pytest.mark.slow
 def test_train_e2e_and_resume(train_env):
     cfg = make_cfg(train_env, max_steps=4)
     state = train(cfg)
@@ -99,6 +100,7 @@ def test_train_e2e_and_resume(train_env):
     assert "step-6" in latest2
 
 
+@pytest.mark.slow
 def test_train_with_tensor_parallel_mesh(train_env):
     """MeshConfig.model_axis=2 trains through the trainer on the virtual
     8-device mesh (data=4 x model=2, Megatron TP shardings)."""
@@ -109,6 +111,7 @@ def test_train_with_tensor_parallel_mesh(train_env):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_preemption_signal_checkpoints_and_stops(train_env):
     """SIGTERM mid-run -> the loop finishes the in-flight step, writes a
     preemption checkpoint, and exits cleanly; auto-resume then continues from
@@ -192,6 +195,7 @@ def test_checkpoint_gc(tmp_path, train_env):
     assert remaining == ["checkpoint-epoch-0-step-2", "checkpoint-epoch-0-step-3"]
 
 
+@pytest.mark.slow
 def test_in_training_eval_fires_on_lakh(train_env, tmp_path):
     """eval_every_n_steps triggers periodic evaluate_loss during training on a
     Lakh (on-device-synthesis) dataset; records land in eval_history.jsonl."""
@@ -209,6 +213,7 @@ def test_in_training_eval_fires_on_lakh(train_env, tmp_path):
     assert all(np.isfinite(r["eval_loss"]) and r["eval_loss"] > 0 for r in records)
 
 
+@pytest.mark.slow
 def test_evaluate_loss_lakh_synth_path(train_env):
     """evaluate_loss renders Lakh eval audio on device (fixed keys => the same
     params give the same loss on repeated calls)."""

@@ -1,6 +1,7 @@
 """TMIDT (real-audio) training path: config-driven e2e on the CPU mesh."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -36,6 +37,7 @@ def _write_tmidt_parquet(path, n_items=40):
     pq.write_table(pa.table(rows, schema=schema), path)
 
 
+@pytest.mark.slow
 def test_tmidt_training(tmp_path):
     data = tmp_path / "tmidt.parquet"
     _write_tmidt_parquet(str(data))
