@@ -202,14 +202,18 @@ def encode_files_striped(
     `mesh` when given, else its default device) — host wav decode and device
     encode both scale with the host count, the ICI/DCN story the 1M-library
     north star names. The gather pads each stripe's (rows, 512) result to the
-    max stripe size, ships it through one replicated-output jit over the
-    global mesh, and reassembles rows by their global file index, so every
-    process returns the identical (embeddings, kept_files) — byte-equal to a
-    single-process `encode_files` call over the same list (same per-file
-    arithmetic: batches are padded to the same static size either way).
+    max stripe size, all-gathers across processes, and reassembles rows by
+    their global file index, so every process returns the identical
+    (embeddings, kept_files) — byte-equal to a single-process `encode_files`
+    call over the same list (same per-file arithmetic: batches are padded to
+    the same static size either way).
 
     Single-process calls degrade to plain `encode_files` (with `mesh` passed
     through), so the CLI can call this unconditionally.
+
+    `files` must enumerate in the SAME order on every process (sort globs!):
+    the stripes partition by position, and the gathered rows map back through
+    this process's own copy of the list.
     """
     import jax
 
@@ -219,18 +223,17 @@ def encode_files_striped(
             wrapper, files, sample_rate, batch_size,
             num_workers=num_workers, skip_errors=skip_errors, mesh=mesh,
         )
-    from jax.sharding import NamedSharding, PartitionSpec as PSpec
-
     from adt_str_tpu.parallel import mesh as mesh_lib
 
     pidx = jax.process_index()
-    global_mesh = mesh if mesh is not None else mesh_lib.make_mesh()
     # process-local data mesh: this host's addressable slice, so the stripe
     # encode is a purely local computation (no cross-host collectives in the
     # hot loop — only the final gather crosses DCN)
-    local_devices = [
-        d for d in global_mesh.devices.reshape(-1) if d.process_index == pidx
-    ]
+    local_devices = (
+        [d for d in mesh.devices.reshape(-1) if d.process_index == pidx]
+        if mesh is not None
+        else list(jax.local_devices())
+    )
     local_mesh = (
         mesh_lib.make_mesh(n_data=len(local_devices), n_model=1, devices=local_devices)
         if len(local_devices) > 1
@@ -249,31 +252,21 @@ def encode_files_striped(
     )
 
     # pad every process to the same row count (stripe sizes differ by <=1
-    # plus skips), rounded to the per-process device count so the global
-    # data-axis sharding places whole row blocks per device
-    n_data = global_mesh.shape["data"]
+    # plus skips), then all-gather: process_allgather builds its own mesh
+    # over all devices, so this works for ANY caller mesh shape (including
+    # data axes not divisible by the process count)
+    from jax.experimental import multihost_utils
+
     rows_max = -(-len(files) // P_count)
-    ldev = max(1, n_data // P_count)
-    per_proc_rows = -(-rows_max // ldev) * ldev
-    emb_pad = np.zeros((per_proc_rows, 512), np.float32)
+    emb_pad = np.zeros((rows_max, 512), np.float32)
     emb_pad[: len(emb)] = emb
-    idx_pad = np.full((per_proc_rows,), -1, np.int64)
+    idx_pad = np.full((rows_max,), -1, np.int64)
     idx_pad[: len(kept_global_idx)] = kept_global_idx
 
-    sharding = NamedSharding(global_mesh, PSpec("data", None))
-    sharding1d = NamedSharding(global_mesh, PSpec("data"))
-    gather = jax.jit(
-        lambda e, i: (e, i),
-        out_shardings=(
-            NamedSharding(global_mesh, PSpec()),
-            NamedSharding(global_mesh, PSpec()),
-        ),
-    )
-    emb_all, idx_all = gather(
-        jax.make_array_from_process_local_data(sharding, emb_pad),
-        jax.make_array_from_process_local_data(sharding1d, idx_pad),
-    )
-    emb_all, idx_all = np.asarray(emb_all), np.asarray(idx_all)
+    emb_all = np.asarray(multihost_utils.process_allgather(emb_pad))
+    idx_all = np.asarray(multihost_utils.process_allgather(idx_pad))
+    emb_all = emb_all.reshape(-1, emb_all.shape[-1])
+    idx_all = idx_all.reshape(-1)
     keep = idx_all >= 0
     order = np.argsort(idx_all[keep], kind="stable")
     files_arr = list(files)
@@ -335,9 +328,30 @@ def assign_classes(
     its shard locally (no cross-device traffic beyond the tiny replicated
     class-mean matrix) — the TPU equivalent of the reference's per-class
     python loop (augment_data_with_CLAP.py:139-151).
+
+    A multi-host mesh is narrowed to this host's addressable slice: the
+    inputs are replicated host numpy arrays (encode_files_striped gathers
+    them everywhere), so scoring them host-locally yields the identical
+    replicated result with zero DCN traffic — and `np.asarray` on an output
+    sharded across non-addressable devices would raise.
     """
     means_n = class_means / np.linalg.norm(class_means, axis=1, keepdims=True)
     score = _score_classes
+
+    if mesh is not None and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    ):
+        from adt_str_tpu.parallel import mesh as mesh_lib
+
+        local = [
+            d for d in mesh.devices.flat
+            if d.process_index == jax.process_index()
+        ]
+        mesh = (
+            mesh_lib.make_mesh(n_data=len(local), n_model=1, devices=local)
+            if len(local) > 1
+            else None
+        )
 
     u = jnp.asarray(sample_embeds)
     m = jnp.asarray(means_n)
@@ -365,7 +379,10 @@ def curate_library(
     """Full curation: encode G + U, assign, bin, copy. Returns output root."""
     validate_num_bins(num_bins)
 
-    wav_files = glob(f"{sample_pack_root}/**/*.[Ww][Aa][Vv]", recursive=True)
+    # sorted: glob order is filesystem-dependent, and the multi-host stripe
+    # partition + gathered-index mapping require the IDENTICAL file order on
+    # every process
+    wav_files = sorted(glob(f"{sample_pack_root}/**/*.[Ww][Aa][Vv]", recursive=True))
     logger.info("library: %d files", len(wav_files))
     class_means, labels = reference_class_means(
         wrapper, reference_root, sample_rate, batch_size, mesh=mesh
@@ -376,10 +393,15 @@ def curate_library(
     best_idx, best_score = assign_classes(sample_embeds, class_means, mesh)
 
     augmented_root = _augmented_root_for(reference_root)
-    if jax.process_count() > 1 and jax.process_index() != 0:
+    multi = jax.process_count() > 1
+    if multi and jax.process_index() != 0:
         # multi-host: every process holds the full gathered assignment (so
         # this return value is usable anywhere), but the filesystem copy is
-        # single-writer — shared-FS rmtree/copy races otherwise
+        # single-writer — shared-FS rmtree/copy races otherwise. Block until
+        # the writer finishes, so callers can read augmented_root immediately.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("curation_copy_done")
         return augmented_root
     if augmented_root.exists():
         shutil.rmtree(augmented_root)
@@ -421,6 +443,10 @@ def curate_library(
     else:
         copied = sum(map(_copy, jobs))
     logger.info("Copied: %d", copied)
+    if multi:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("curation_copy_done")
     return augmented_root
 
 

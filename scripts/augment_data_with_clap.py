@@ -37,14 +37,21 @@ def main() -> None:
         ClapConfig, cfg.get("clap_config", {}), cfg.get("shared", {})
     )
 
+    from adt_str_tpu.parallel import mesh as mesh_lib
+
+    # pod launches: bring up jax.distributed BEFORE any backend query (same
+    # contract as train.py/eval.py) — without it every host believes it is a
+    # single-process run, the encode never stripes, and every host races the
+    # single-writer copy stage on the shared filesystem
+    mesh_lib.maybe_initialize_distributed()
+
     import jax
 
     from adt_str_tpu.clap.curation import curate_library
     from adt_str_tpu.clap.model import ClapWrapper
-    from adt_str_tpu.parallel.mesh import make_mesh
 
     wrapper = ClapWrapper(clap_cfg.model_name, sample_rate=clap_cfg.sample_rate)
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
     curate_library(
         wrapper,
         clap_cfg.sample_pack_root,

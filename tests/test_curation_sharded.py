@@ -280,3 +280,139 @@ def test_two_process_striped_encode(tmp_path):
         out = json.loads((tmp_path / f"striped_{pid}.json").read_text())
         assert out["kept"] == expect_kept, pid
         np.testing.assert_allclose(np.asarray(out["emb"]), expect, atol=1e-5)
+
+
+CURATE_WORKER = r"""
+import json, os, sys
+import numpy as np
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, "/root/repo")
+from adt_str_tpu.parallel import mesh as mesh_lib
+from adt_str_tpu.clap.curation import curate_library
+
+mesh_lib.maybe_initialize_distributed()
+assert jax.process_count() == 2
+pid = jax.process_index()
+mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+td = sys.argv[1]
+
+
+class StubWrapper:
+    def get_audio_features(self, audios, mesh=None):
+        out = []
+        for a in audios:
+            a = np.asarray(a).reshape(-1)
+            v = np.zeros(512, np.float32)
+            v[0] = float(a.sum())
+            v[1] = float((a * a).sum())
+            v[2] = float(len(a))
+            out.append(v)
+        return np.stack(out)
+
+
+root = curate_library(
+    StubWrapper(), os.path.join(td, "library"), os.path.join(td, "reference"),
+    sample_rate=8000, batch_size=2, num_bins=10, mesh=mesh,
+)
+# snapshot IMMEDIATELY on return: the barrier contract is that the copied
+# tree is complete for EVERY process at this point (a non-writer returning
+# early would observe a partial tree here)
+tree = sorted(str(p.relative_to(root)) for p in Path(root).rglob("*.wav"))
+with open(os.path.join(td, f"curate_{pid}.json"), "w") as f:
+    json.dump({"root": str(root), "tree": tree}, f)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_curate_library(tmp_path):
+    """Full multi-host curation: a genuine two-process cluster must produce
+    the identical augmented tree a single-process run produces, with the
+    copy written once (single-writer) and COMPLETE before any process
+    returns (the post-copy barrier). Exercises the multi-host branches of
+    reference_class_means, encode_files_striped, assign_classes (host-local
+    mesh narrowing), and curate_library's writer coordination."""
+    import os
+    import shutil
+
+    rng = np.random.default_rng(11)
+
+    def build(root: Path):
+        for cls in (35, 38):
+            d = root / "reference" / str(cls)
+            d.mkdir(parents=True)
+            for j in range(2):
+                w = (rng.normal(size=4000 + 500 * j) * 0.3).astype(np.float32)
+                write_wav(str(d / f"ref{cls}_{j}.wav"), w, SR)
+        lib = root / "library"
+        lib.mkdir()
+        for i in range(5):
+            w = (rng.normal(size=3000 + 200 * i) * 0.3).astype(np.float32)
+            write_wav(str(lib / f"lib{i}.wav"), w, SR)
+
+    build(tmp_path)
+    # bit-identical second copy for the single-process ground truth (its
+    # derived augmented root is a sibling, so the trees never collide)
+    single_root = tmp_path / "single"
+    single_root.mkdir()
+    shutil.copytree(tmp_path / "reference", single_root / "reference")
+    shutil.copytree(tmp_path / "library", single_root / "library")
+
+    port = _free_port()
+    script = tmp_path / "curate_worker.py"
+    script.write_text(CURATE_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+
+    class _Stub:
+        def get_audio_features(self, audios, mesh=None):
+            out = []
+            for a in audios:
+                a = np.asarray(a).reshape(-1)
+                v = np.zeros(512, np.float32)
+                v[0] = float(a.sum())
+                v[1] = float((a * a).sum())
+                v[2] = float(len(a))
+                out.append(v)
+            return np.stack(out)
+
+    from adt_str_tpu.clap.curation import curate_library
+
+    expect_root = curate_library(
+        _Stub(), str(single_root / "library"), str(single_root / "reference"),
+        sample_rate=SR, batch_size=2, num_bins=10,
+    )
+    expect_tree = sorted(
+        str(p.relative_to(expect_root)) for p in Path(expect_root).rglob("*.wav")
+    )
+    assert expect_tree, "single-process curation produced an empty tree"
+
+    for pid in range(2):
+        out = json.loads((tmp_path / f"curate_{pid}.json").read_text())
+        assert out["tree"] == expect_tree, (pid, out["tree"], expect_tree)

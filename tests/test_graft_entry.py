@@ -63,3 +63,23 @@ def test_dryrun_multichip_self_provisions_virtual_mesh(n):
     for layout in perf["layouts"]:
         assert layout["per_step_ms"] > 0
         assert layout["collectives"], layout  # sharded -> collectives exist
+
+
+def test_hlo_collective_counts_handles_async_tuple_types():
+    """Async collective starts carry tuple result types containing spaces
+    (`= (f32[4]{0}, f32[8]{0}) all-gather-start(...)`); a backend lowering
+    every collective to async form must not be miscounted as 'silently
+    replicated'. `-done` ops must NOT double-count."""
+    import __graft_entry__ as g
+
+    hlo = """
+  %ar = f32[8]{0} all-reduce(f32[8]{0} %x), replica_groups={}
+  %ag = (f32[4]{0}, f32[8]{0}) all-gather-start(f32[4]{0} %y), dimensions={0}
+  %agd = f32[8]{0} all-gather-done((f32[4]{0}, f32[8]{0}) %ag)
+  %cp = bf16[2]{0} collective-permute(bf16[2]{0} %z), source_target_pairs={{0,1}}
+"""
+    assert g._hlo_collective_counts(hlo) == {
+        "all-reduce": 1,
+        "all-gather": 1,
+        "collective-permute": 1,
+    }

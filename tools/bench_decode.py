@@ -150,7 +150,9 @@ def main() -> None:
             # mean decoded length (first EOS, excl. BOS): shows whether the
             # EOS early exit engaged (random params never emit EOS -> ~max)
             eos = out[:, 1:] == 3
-            lens = np.where(eos.any(axis=1), eos.argmax(axis=1) + 1, out.shape[1])
+            # no-EOS rows decoded out.shape[1]-1 tokens (lens exclude the BOS
+            # column, like the EOS branch's argmax over out[:, 1:])
+            lens = np.where(eos.any(axis=1), eos.argmax(axis=1) + 1, out.shape[1] - 1)
             results[f"{mode}_bs{bs}_items_per_s"] = round(bs / dt, 2)
             results[f"{mode}_bs{bs}_s_per_batch"] = round(dt, 4)
             results[f"{mode}_bs{bs}_mean_len"] = round(float(lens.mean()), 1)
