@@ -185,6 +185,28 @@ def encode_files(
     return np.concatenate(out, axis=0), kept
 
 
+def _allgather_ok(err: str | None, stage: str) -> None:
+    """Failure-propagating barrier: every process contributes an ok/failed
+    flag; if ANY host failed, ALL hosts raise. Without this, a host that
+    raises before a DCN collective simply dies while every other host blocks
+    in `process_allgather` forever (the collectives have no timeout) — a
+    corrupt wav in one stripe, or an rmtree error on the single writer, must
+    fail the whole cluster, not hang it. The gather doubles as the barrier."""
+    from jax.experimental import multihost_utils
+
+    flags = np.asarray(
+        multihost_utils.process_allgather(
+            np.array([0 if err is None else 1], np.int32)
+        )
+    ).reshape(-1)
+    if flags.sum():
+        bad = np.nonzero(flags)[0].tolist()
+        raise RuntimeError(
+            f"curation stage '{stage}' failed on process(es) {bad}"
+            + (f": {err}" if err else " (see that host's log for the error)")
+        )
+
+
 def encode_files_striped(
     wrapper,
     files: Sequence[str],
@@ -242,14 +264,22 @@ def encode_files_striped(
 
     stripe = list(files[pidx::P_count])
     stripe_idx = np.arange(pidx, len(files), P_count, dtype=np.int64)
-    emb, kept = encode_files(
-        wrapper, stripe, sample_rate, batch_size,
-        num_workers=num_workers, skip_errors=skip_errors, mesh=local_mesh,
-    )
-    kept_set = {f: i for i, f in enumerate(stripe)}
-    kept_global_idx = np.asarray(
-        [stripe_idx[kept_set[f]] for f in kept], dtype=np.int64
-    )
+    err: str | None = None
+    try:
+        emb, kept = encode_files(
+            wrapper, stripe, sample_rate, batch_size,
+            num_workers=num_workers, skip_errors=skip_errors, mesh=local_mesh,
+        )
+        kept_set = {f: i for i, f in enumerate(stripe)}
+        kept_global_idx = np.asarray(
+            [stripe_idx[kept_set[f]] for f in kept], dtype=np.int64
+        )
+    except Exception as e:  # must still reach the gather: see _allgather_ok
+        logger.exception("stripe encode failed on process %d", pidx)
+        err = f"{type(e).__name__}: {e}"
+        emb = np.zeros((0, 512), np.float32)
+        kept_global_idx = np.zeros((0,), np.int64)
+    _allgather_ok(err, "stripe encode")
 
     # pad every process to the same row count (stripe sizes differ by <=1
     # plus skips), then all-gather: process_allgather builds its own mesh
@@ -398,55 +428,61 @@ def curate_library(
         # multi-host: every process holds the full gathered assignment (so
         # this return value is usable anywhere), but the filesystem copy is
         # single-writer — shared-FS rmtree/copy races otherwise. Block until
-        # the writer finishes, so callers can read augmented_root immediately.
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("curation_copy_done")
+        # the writer finishes (and raise here if the writer failed), so
+        # callers can read augmented_root immediately.
+        _allgather_ok(None, "bin copy")
         return augmented_root
-    if augmented_root.exists():
-        shutil.rmtree(augmented_root)
-    augmented_root.mkdir(parents=True, exist_ok=True)
+    copy_err: str | None = None
+    try:
+        if augmented_root.exists():
+            shutil.rmtree(augmented_root)
+        augmented_root.mkdir(parents=True, exist_ok=True)
 
-    # bin+copy: I/O-bound, so a thread pool scales it with the filesystem's
-    # parallelism (the 1M-library projection is copy-dominated otherwise —
-    # tools/curation_bench.json). Destination dirs are created up front; the
-    # per-file task is a single copy2.
-    import os
-    from concurrent.futures import ThreadPoolExecutor
+        # bin+copy: I/O-bound, so a thread pool scales it with the
+        # filesystem's parallelism (the 1M-library projection is
+        # copy-dominated otherwise — tools/curation_bench.json). Destination
+        # dirs are created up front; the per-file task is a single copy2.
+        import os
+        from concurrent.futures import ThreadPoolExecutor
 
-    jobs: list[tuple[str, Path]] = []
-    dest_dirs = set()
-    for path, ci, score_value in zip(wav_files, best_idx, best_score):
-        dest_dir = (
-            augmented_root
-            / str(labels[int(ci)])
-            / score_to_bin_label(float(score_value), num_bins)
-        )
-        dest_dirs.add(dest_dir)
-        jobs.append((path, dest_dir / Path(path).name))
-    for d in dest_dirs:
-        d.mkdir(parents=True, exist_ok=True)
+        jobs: list[tuple[str, Path]] = []
+        dest_dirs = set()
+        for path, ci, score_value in zip(wav_files, best_idx, best_score):
+            dest_dir = (
+                augmented_root
+                / str(labels[int(ci)])
+                / score_to_bin_label(float(score_value), num_bins)
+            )
+            dest_dirs.add(dest_dir)
+            jobs.append((path, dest_dir / Path(path).name))
+        for d in dest_dirs:
+            d.mkdir(parents=True, exist_ok=True)
 
-    def _copy(job: tuple[str, Path]) -> int:
-        src, dst = job
-        try:
-            shutil.copy2(src, dst)
-            return 1
-        except Exception as e:  # pragma: no cover
-            logger.warning("Failed to copy %s: %s", src, e)
-            return 0
+        def _copy(job: tuple[str, Path]) -> int:
+            src, dst = job
+            try:
+                shutil.copy2(src, dst)
+                return 1
+            except Exception as e:  # pragma: no cover
+                logger.warning("Failed to copy %s: %s", src, e)
+                return 0
 
-    n_workers = min(16, os.cpu_count() or 1)
-    if n_workers > 1:
-        with ThreadPoolExecutor(n_workers) as pool:
-            copied = sum(pool.map(_copy, jobs, chunksize=64))
-    else:
-        copied = sum(map(_copy, jobs))
-    logger.info("Copied: %d", copied)
+        n_workers = min(16, os.cpu_count() or 1)
+        if n_workers > 1:
+            with ThreadPoolExecutor(n_workers) as pool:
+                copied = sum(pool.map(_copy, jobs, chunksize=64))
+        else:
+            copied = sum(map(_copy, jobs))
+        logger.info("Copied: %d", copied)
+    except Exception as e:
+        # the writer must still reach the barrier: raising here would leave
+        # every non-writer blocked in the collective forever (_allgather_ok)
+        if not multi:
+            raise
+        logger.exception("bin copy failed on the writer process")
+        copy_err = f"{type(e).__name__}: {e}"
     if multi:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("curation_copy_done")
+        _allgather_ok(copy_err, "bin copy")
     return augmented_root
 
 

@@ -97,7 +97,10 @@ class ClapWrapper:
         batch = jax.device_put(
             batch, NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1))))
         )
-        if self._mesh_audio_params is None or self._mesh_audio_params[0] is not mesh:
+        # structural equality, not identity: curation builds a fresh (equal)
+        # local mesh per stage, and an identity key would re-upload the whole
+        # tower (hundreds of MB for real CLAP) at every stage
+        if self._mesh_audio_params is None or self._mesh_audio_params[0] != mesh:
             replicated = NamedSharding(mesh, P())
             self._mesh_audio_params = (
                 mesh,

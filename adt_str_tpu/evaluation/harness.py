@@ -83,12 +83,13 @@ def merge_chunk_notes(all_notes: list, snap_to_grid: bool = False) -> np.ndarray
     there only arise within one chunk, where rows are already bitwise
     equal."""
     if not all_notes:
-        return np.zeros((0, 4), dtype=np.float32)
-    notes = np.concatenate(all_notes, axis=0)
+        return np.zeros((0, 4), dtype=np.float64)
+    # float64 throughout: decode_tokens_to_notes returns float64 for metric
+    # parity with the reference (fp32 onsets flipped matches at |dt|==0.05
+    # boundaries), and the merge must not quantize back through fp32
+    notes = np.concatenate(all_notes, axis=0).astype(np.float64, copy=False)
     if snap_to_grid:
-        notes[:, 0:2] = (
-            np.round(notes[:, 0:2].astype(np.float64) * 100.0) / 100.0
-        ).astype(np.float32)
+        notes[:, 0:2] = np.round(notes[:, 0:2] * 100.0) / 100.0
     return np.unique(notes, axis=0)
 
 

@@ -88,7 +88,10 @@ def make_synth_train_step(
     `batch`: {"notes": (B, MAX_NOTES, 4), "note_mask": (B, MAX_NOTES),
     "tokens": (B, T), "token_lengths": (B,)}.
     """
-    from adt_str_tpu.synth.render import render_batch
+    from adt_str_tpu.synth.render import check_bins_loaded, render_batch
+
+    # eager: inside the jitted step loaded_bins is a tracer and cannot raise
+    check_bins_loaded(statics, synth_config.similarity_threshold)
 
     def loss_fn(params, batch, wavs, rng):
         return adt.forward_loss(
@@ -132,7 +135,9 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics):
     losses are comparable over training. (The reference cannot evaluate on
     Lakh at all — its evaluate() consumes pre-rendered wavs, train.py:94-99.)
     """
-    from adt_str_tpu.synth.render import render_batch
+    from adt_str_tpu.synth.render import check_bins_loaded, render_batch
+
+    check_bins_loaded(statics, synth_config.similarity_threshold)
 
     # statics as a jit argument, not a closure — see make_synth_train_step
     @jax.jit

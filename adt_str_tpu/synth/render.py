@@ -105,6 +105,12 @@ class SynthStatics(NamedTuple):
     class_gain: jnp.ndarray  # (128,)
     member_table: jnp.ndarray  # (128, 8)
     member_count: jnp.ndarray  # (128,)
+    # leading bins materialized by the (possibly bin-capped) bank load; a
+    # render whose similarity_threshold needs more bins than were loaded
+    # would silently sample empty bins (silence), so `render_batch` and the
+    # step factories guard n_allowed <= loaded_bins. Plain int: concrete in
+    # the eager/factory checks, an inert scalar leaf under jit.
+    loaded_bins: int = N_BINS
 
     @classmethod
     def from_bank(
@@ -165,6 +171,26 @@ class SynthStatics(NamedTuple):
             class_gain=jnp.asarray(class_gain_lut()),
             member_table=jnp.asarray(table),
             member_count=jnp.asarray(counts),
+            loaded_bins=int(bank.loaded_bins),
+        )
+
+
+def check_bins_loaded(statics: SynthStatics, similarity_threshold: float) -> None:
+    """Raise when a render's threshold needs more similarity bins than the
+    bank load materialized (`load_bank_hdf5(n_allowed_bins=...)`) — sampling
+    past the cap would silently draw empty bins (silence) where the full bank
+    has one-shots. No-op under jit tracing (loaded_bins is a tracer there);
+    the step factories run this eagerly before building the jitted step."""
+    lb = statics.loaded_bins
+    if not isinstance(lb, (int, np.integer)):
+        return  # tracer under jit: the factory-level check already ran
+    need = n_allowed_bins(similarity_threshold)
+    if need > int(lb):
+        raise ValueError(
+            f"similarity_threshold={similarity_threshold} samples {need} "
+            f"bins but the bank was loaded with only the leading {int(lb)} "
+            "(load_bank_hdf5(n_allowed_bins=...)); reload the bank with "
+            f"n_allowed_bins>={need} or raise the threshold"
         )
 
 
@@ -421,6 +447,7 @@ def render_batch(
     config: SynthConfig,
 ) -> jnp.ndarray:
     """(B, chunk_samples) batch synthesis driven by a SynthConfig."""
+    check_bins_loaded(statics, config.similarity_threshold)
     return render_batch_arrays(
         statics,
         notes,

@@ -191,14 +191,19 @@ def test_merge_chunk_notes_dedups_across_ulp_variants():
     assert a[0, 0] != b[0, 0]  # the ulp divergence this test exists for
     merged = merge_chunk_notes([a, b], snap_to_grid=True)
     assert merged.shape == (1, 4)
-    assert merged[0, 0] == np.float32(0.66)
+    # snap emits the canonical float64 grid value (the whole pipeline is
+    # float64 after decode for metric parity — no fp32 round-trip)
+    assert merged.dtype == np.float64
+    assert merged[0, 0] == 0.66
     # distinct grid times stay distinct
     c = np.array([[0.67, 0.77, 38, 90]], np.float32)
     assert merge_chunk_notes([a, c], snap_to_grid=True).shape == (2, 4)
-    # non-hop path: bitwise passthrough + dedup only
+    # non-hop path: value-exact passthrough (fp32->fp64 widening) + dedup only
     out = merge_chunk_notes([a, b], snap_to_grid=False)
     assert out.shape == (2, 4)  # ulp variants are (correctly) not merged here
-    assert merge_chunk_notes([], snap_to_grid=True).shape == (0, 4)
+    assert out.dtype == np.float64
+    empty = merge_chunk_notes([], snap_to_grid=True)
+    assert empty.shape == (0, 4) and empty.dtype == np.float64
 
 
 @pytest.mark.slow

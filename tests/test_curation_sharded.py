@@ -282,6 +282,94 @@ def test_two_process_striped_encode(tmp_path):
         np.testing.assert_allclose(np.asarray(out["emb"]), expect, atol=1e-5)
 
 
+STRIPED_FAIL_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, "/root/repo")
+from adt_str_tpu.parallel import mesh as mesh_lib
+from adt_str_tpu.clap.curation import encode_files_striped
+
+mesh_lib.maybe_initialize_distributed()
+assert jax.process_count() == 2
+mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+
+td = sys.argv[1]
+files = json.loads(open(os.path.join(td, "files.json")).read())
+
+
+class StubWrapper:
+    def get_audio_features(self, audios, mesh=None):
+        return np.zeros((len(audios), 512), np.float32)
+
+
+# skip_errors=False: the corrupt file in process 1's stripe must fail BOTH
+# processes (RuntimeError from the failure-propagating barrier), not hang
+# process 0 in the all-gather
+encode_files_striped(StubWrapper(), files, 8000, batch_size=2, mesh=mesh,
+                     skip_errors=False)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_striped_encode_failure_propagates(tmp_path):
+    """With skip_errors=False and a corrupt wav in ONE stripe, the whole
+    cluster must fail fast: the owning host's exception is caught, folded
+    into the gather barrier, and re-raised on EVERY process. Before the fix
+    the failing host died pre-collective and the other blocked in
+    process_allgather forever (DCN collectives have no timeout)."""
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(3):
+        p = tmp_path / f"w{i}.wav"
+        write_wav(str(p), (rng.normal(size=3000) * 0.3).astype(np.float32), SR)
+        files.append(str(p))
+    corrupt = tmp_path / "w3.wav"
+    corrupt.write_text("not a wav")  # files[3]: stripe of process 1
+    files.append(str(corrupt))
+    (tmp_path / "files.json").write_text(json.dumps(files))
+
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(STRIPED_FAIL_WORKER)
+    procs = []
+    import os
+
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    errs = []
+    for p in procs:
+        try:
+            # the deadlock this guards against would hit this timeout
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        errs.append(err)
+        assert p.returncode != 0
+    # both processes raise the coordinated error, naming the failing process
+    for err in errs:
+        assert "stripe encode" in err and "process(es) [1]" in err, err[-2000:]
+
+
 CURATE_WORKER = r"""
 import json, os, sys
 import numpy as np

@@ -269,6 +269,52 @@ def test_bin_capped_load_renders_identically(tmp_path):
     assert np.abs(a).max() > 0  # the comparison is not silence == silence
 
 
+def test_render_guards_bin_cap_vs_threshold(tmp_path):
+    """Rendering with a LOWER similarity_threshold than the bank load was
+    capped for must raise, not silently sample empty bins (silence where the
+    full bank has one-shots). The guard lives in `check_bins_loaded`, called
+    eagerly by `render_batch` and the synth step factories."""
+    from adt_str_tpu.config import ModelConfig, SynthConfig
+    from adt_str_tpu.parallel.train_step import make_synth_eval_step
+    from adt_str_tpu.synth.render import render_batch
+
+    rng = np.random.default_rng(7)
+    entries = {
+        35: {b: [rng.normal(size=128).astype(np.float32)]
+             for b in ("gold", "100-90", "90-80", "70-60")}
+    }
+    path = str(tmp_path / "guardbank@8000.hdf5")
+    save_bank_hdf5(path, entries, SR)
+    capped = load_bank_hdf5(path, max_len=256, n_allowed_bins=n_allowed_bins(0.9))
+    statics = SynthStatics.from_bank(capped)
+
+    notes, mask = pad_notes(np.array([[0.05, 0.1, 35, 100]], np.float32), 4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+
+    def synth_cfg(thr):
+        return SynthConfig(sample_rate=SR, input_sec=cfg().input_sec,
+                           similarity_threshold=thr, max_notes=4,
+                           max_oneshot_sec=256 / SR, use_fx_prob=0.0)
+
+    # the loaded cap (tau=0.9 -> 2 bins) renders fine...
+    out = render_batch(statics, jnp.asarray(notes[None]), jnp.asarray(mask[None]),
+                       keys, synth_cfg(0.9))
+    assert np.abs(np.asarray(out)).max() > 0
+    # ...a looser threshold (needs 4 bins) raises at the eager call site
+    with pytest.raises(ValueError, match="loaded with only the leading"):
+        render_batch(statics, jnp.asarray(notes[None]), jnp.asarray(mask[None]),
+                     keys, synth_cfg(0.7))
+    # ...and at the jitted-step factory (inside jit the field is a tracer, so
+    # the factory must catch it before tracing)
+    with pytest.raises(ValueError, match="loaded with only the leading"):
+        make_synth_eval_step(
+            ModelConfig(enc_layers=1, dec_layers=1, nhead=2, d_query=8,
+                        tgt_vocab_size=16, n_mels=8, sample_rate=SR,
+                        input_sec=cfg().input_sec),
+            synth_cfg(0.7), statics,
+        )
+
+
 def test_from_bank_guards_device_budget(bank):
     """Oversized banks raise the explicit capacity error (with remediation),
     never an implicit device OOM."""

@@ -57,59 +57,11 @@ def main() -> None:
 
     pin_jax_platform_from_env()
     enable_persistent_compilation_cache()
-    import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_config
-    from adt_str_tpu.models import adt
     from adt_str_tpu.models.decode import beam_search_decode, greedy_decode
+    from tools._bench_common import WARM_SEED, load_flagship
 
-    cfg = _flagship_config()
-    if args.checkpoint:
-        from adt_str_tpu.training.checkpoint import (
-            load_params_from_reference_checkpoint,
-        )
-
-        params = load_params_from_reference_checkpoint(args.checkpoint)
-        params = jax.device_put(params)
-    else:
-        params = adt.init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.default_rng(0)
-
-    statics = synth_cfg = None
-    if args.bank:
-        from adt_str_tpu.config import SynthConfig
-        from adt_str_tpu.synth.bank import load_bank_hdf5
-        from adt_str_tpu.synth.render import SynthStatics, render_batch
-
-        bank = load_bank_hdf5(
-            f"{args.bank}@{cfg.sample_rate}.hdf5",
-            int(1.28 * cfg.sample_rate),
-        )
-        statics = SynthStatics.from_bank(bank)
-        synth_cfg = SynthConfig(
-            sample_rate=cfg.sample_rate, input_sec=cfg.input_sec,
-            mixup_range=0.8, use_fx_prob=0.0, similarity_threshold=0.8,
-            max_notes=64, max_oneshot_sec=1.28,
-        )
-        bank_pitches = [
-            int(p) for p in np.nonzero(np.asarray(bank.bin_count).sum(axis=1))[0]
-        ]
-
-    def make_wave(bs: int) -> jnp.ndarray:
-        if statics is None:
-            return jnp.asarray(
-                (rng.normal(size=(bs, cfg.chunk_samples)) * 0.2).astype(np.float32)
-            )
-        from __graft_entry__ import make_notes
-
-        notes, mask = make_notes(
-            rng, bs, max_notes=64, pitches=bank_pitches, onset_hi=2.4,
-            n_range=(4, 32),
-        )
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(bs) + 55_000)
-        return render_batch(
-            statics, jnp.asarray(notes), jnp.asarray(mask), keys, synth_cfg
-        )
+    cfg, params, make_waves = load_flagship(args.checkpoint, args.bank)
 
     results: dict = {
         "max_length": args.max_length,
@@ -124,7 +76,8 @@ def main() -> None:
         # byte-identical dispatches (elided somewhere in the axon path), and
         # with a trained checkpoint the early-exit step count varies per
         # batch — averaging over distinct batches is the honest figure
-        waves = [make_wave(bs) for _ in range(args.repeats)]
+        waves = [make_waves(bs, bs * 1000 + r) for r in range(args.repeats)]
+        warm = make_waves(bs, WARM_SEED)
         for mode in ("greedy", "beam"):
             def run(wave):
                 if mode == "greedy":
@@ -141,7 +94,9 @@ def main() -> None:
                 jax.block_until_ready(out)
                 return out
 
-            np.asarray(run(waves[0]))  # compile + warm + drain the queue
+            # compile + warm + drain the queue — with a THROWAWAY batch that
+            # never re-appears in the timed loop (see tools/_bench_common.py)
+            np.asarray(run(warm))
             t0 = time.perf_counter()
             outs = [run(w) for w in waves]
             dt = (time.perf_counter() - t0) / args.repeats

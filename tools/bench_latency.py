@@ -49,58 +49,11 @@ def main() -> None:
     pin_jax_platform_from_env()
     enable_persistent_compilation_cache()
     import jax
-    import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_config, make_notes
-    from adt_str_tpu.models import adt
     from adt_str_tpu.models.decode import greedy_decode
+    from tools._bench_common import WARM_SEED, load_flagship
 
-    cfg = _flagship_config()
-    if args.checkpoint:
-        from adt_str_tpu.training.checkpoint import (
-            load_params_from_reference_checkpoint,
-        )
-
-        params = jax.device_put(load_params_from_reference_checkpoint(args.checkpoint))
-    else:
-        params = adt.init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.default_rng(0)
-
-    statics = synth_cfg = bank_pitches = None
-    if args.bank:
-        from adt_str_tpu.config import SynthConfig
-        from adt_str_tpu.synth.bank import load_bank_hdf5
-        from adt_str_tpu.synth.render import SynthStatics
-
-        bank = load_bank_hdf5(
-            f"{args.bank}@{cfg.sample_rate}.hdf5", int(1.28 * cfg.sample_rate)
-        )
-        statics = SynthStatics.from_bank(bank)
-        synth_cfg = SynthConfig(
-            sample_rate=cfg.sample_rate, input_sec=cfg.input_sec,
-            mixup_range=0.8, use_fx_prob=0.0, similarity_threshold=0.8,
-            max_notes=64, max_oneshot_sec=1.28,
-        )
-        bank_pitches = [
-            int(p) for p in np.nonzero(np.asarray(bank.bin_count).sum(axis=1))[0]
-        ]
-
-    def make_waves(bs: int, seed: int) -> jnp.ndarray:
-        if statics is None:
-            r = np.random.default_rng(seed)
-            return jnp.asarray(
-                (r.normal(size=(bs, cfg.chunk_samples)) * 0.2).astype(np.float32)
-            )
-        from adt_str_tpu.synth.render import render_batch
-
-        notes, mask = make_notes(
-            rng, bs, max_notes=64, pitches=bank_pitches, onset_hi=2.4,
-            n_range=(4, 32),
-        )
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(bs) + seed * 1000)
-        return render_batch(
-            statics, jnp.asarray(notes), jnp.asarray(mask), keys, synth_cfg
-        )
+    cfg, params, make_waves = load_flagship(args.checkpoint, args.bank)
 
     results: dict = {
         "max_length": args.max_length,
@@ -114,9 +67,13 @@ def main() -> None:
         return np.asarray(out)  # host transfer IS part of serving latency
 
     # --- single-chunk latency (bs 1): the interactive-serving figure ---
+    # the warm input is a THROWAWAY (never re-dispatched in the timed loop:
+    # byte-identical dispatches can be elided in the axon tunnel, which
+    # would count a no-op as a latency sample)
     waves1 = [make_waves(1, s) for s in range(args.repeats)]
+    warm1 = make_waves(1, WARM_SEED)
     t_c0 = time.perf_counter()
-    run(waves1[0])  # compile + warm
+    run(warm1)  # compile + warm
     compile_s = time.perf_counter() - t_c0
     lats = []
     for w in waves1:
@@ -139,7 +96,7 @@ def main() -> None:
     bs = args.song_batch
     n_batches = -(-n_chunks // bs)
     batches = [make_waves(bs, 100 + i) for i in range(n_batches)]
-    run(batches[0])  # warm the song batch shape
+    run(make_waves(bs, WARM_SEED))  # warm the song batch shape (throwaway)
     t0 = time.perf_counter()
     for b in batches:
         run(b)
