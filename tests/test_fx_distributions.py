@@ -7,12 +7,16 @@ matched distributionally: /root/reference/modules/synthetiser.py:30-137
 (inclusion probabilities + parameter ranges; bit-parity with JUCE is a non-
 goal — the FX are randomized augmentation, SURVEY.md §7).
 
-Tolerances are set from measured round-3 A/B deltas (~1.5-2x margin):
-  RT60 ours/oracle = 0.72/0.78/0.88 at room 0.2/0.5/0.8
-  wet centroid |delta| <= 250 Hz across damping 0.2..0.8
-  drum-signal energy ratio mean 1.475 vs 1.493 (std 0.159 vs 0.149)
-  compressor gain reduction within 0.55 dB at every level
-  limiter ceiling -6.41 vs -7.29 dB at threshold -3
+Round 4 rebuilt the reverb as the ACTUAL Freeverb topology (exact
+phase-decomposed combs/allpasses + 5-band progressive damping) and the
+dynamics envelope as a full-rate sliding-max + ballistics-EMA follower.
+Tolerances are set from the measured round-4 A/B deltas (~2-3x margin):
+  reverb at damping=0 is BIT-EXACT vs the scipy IIR oracle (<3e-8)
+  RT60 ours/oracle = 0.885-0.938 at room 0.2/0.5/0.8
+  wet centroid |delta| <= 74 Hz over the full (room, damping) grid
+  drum-signal energy ratio 1.4797+-0.158 vs 1.4831+-0.156, per-draw <=0.01
+  compressor gain reduction within 0.006 dB at every level
+  limiter ceiling -6.93 vs -7.31 dB at threshold -3
 """
 
 import numpy as np
@@ -45,6 +49,20 @@ def _drum_signal() -> np.ndarray:
     return np.clip(sig, -1, 1)
 
 
+def test_reverb_exact_freeverb_at_zero_damping():
+    """With damping=0 the in-loop low-pass is the identity, so the
+    phase-decomposed combs + allpasses must reproduce the scipy IIR
+    Freeverb bit-for-bit (float tolerance) — the topology itself is exact,
+    only the damping is banded."""
+    imp = np.zeros(N, np.float32)
+    imp[100] = 1.0
+    ir_o = orc.freeverb(imp, SR, 0.5, 0.0, 1.0, dry_level=0.0)
+    ir_u = np.asarray(fx.reverb(jnp.asarray(imp), SR, 0.5, 0.0, 1.0))
+    assert np.abs(ir_o - ir_u).max() < 1e-6, np.abs(ir_o - ir_u).max()
+    # and not trivially zero
+    assert np.abs(ir_o).max() > 0.01
+
+
 @pytest.mark.slow
 def test_reverb_rt60_tracks_freeverb():
     imp = np.zeros(N, np.float32)
@@ -53,42 +71,40 @@ def test_reverb_rt60_tracks_freeverb():
     for room in (0.2, 0.5, 0.8):
         ir_o = orc.freeverb(imp, SR, room, 0.5, 1.0, dry_level=0.0)
         orc_rts.append(orc.rt60_from_ir(ir_o, SR))
-        ir_u = np.asarray(
-            fx.reverb(jnp.asarray(imp), SR, jax.random.PRNGKey(1), room, 0.5, 1.0)
-        )
+        ir_u = np.asarray(fx.reverb(jnp.asarray(imp), SR, room, 0.5, 1.0))
         ours_rts.append(orc.rt60_from_ir(ir_u, SR))
     # decay time grows with room size in both implementations ...
     assert ours_rts[0] < ours_rts[1] < ours_rts[2], ours_rts
     assert orc_rts[0] < orc_rts[1] < orc_rts[2], orc_rts
-    # ... and ours tracks the freeverb absolute scale (measured 0.72-0.88x)
+    # ... and ours tracks the freeverb absolute scale (measured 0.885-0.938)
     for u, o in zip(ours_rts, orc_rts):
-        assert 0.5 <= u / o <= 1.3, (ours_rts, orc_rts)
+        assert 0.75 <= u / o <= 1.15, (ours_rts, orc_rts)
 
 
 @pytest.mark.slow
 def test_reverb_damping_centroid_tracks_freeverb():
     imp = np.zeros(N, np.float32)
     imp[100] = 1.0
-    ours_c, orc_c = [], []
-    for damp in (0.2, 0.8):
-        ir_o = orc.freeverb(imp, SR, 0.5, damp, 1.0, dry_level=0.0)
-        orc_c.append(orc.spectral_centroid(ir_o[100:], SR))
-        ir_u = np.asarray(
-            fx.reverb(jnp.asarray(imp), SR, jax.random.PRNGKey(1), 0.5, damp, 1.0)
-        )
-        ours_c.append(orc.spectral_centroid(ir_u[100:], SR))
-    assert ours_c[1] < ours_c[0], ours_c  # more damping => darker wet
-    for u, o in zip(ours_c, orc_c):
-        assert abs(u - o) < 600.0, (ours_c, orc_c)  # measured <= 250 Hz
+    for room in (0.2, 0.8):
+        ours_c, orc_c = [], []
+        for damp in (0.2, 0.8):
+            ir_o = orc.freeverb(imp, SR, room, damp, 1.0, dry_level=0.0)
+            orc_c.append(orc.spectral_centroid(ir_o[100:], SR))
+            ir_u = np.asarray(fx.reverb(jnp.asarray(imp), SR, room, damp, 1.0))
+            ours_c.append(orc.spectral_centroid(ir_u[100:], SR))
+        assert ours_c[1] < ours_c[0], ours_c  # more damping => darker wet
+        for u, o in zip(ours_c, orc_c):
+            # measured <= 74 Hz over the full grid
+            assert abs(u - o) < 250.0, (room, ours_c, orc_c)
 
 
 @pytest.mark.slow
 def test_reverb_energy_ratio_distribution_matches_freeverb():
     """Output/input RMS ratio over random draws of (room, damping, wet, width)
-    across the reference's BoardChain ranges (synthetiser.py:45-49) — mean
-    AND spread must match (the fixed-reference wet normalization keeps the
-    natural room->wet-energy correlation; measured 1.475+-0.159 vs oracle
-    1.493+-0.149)."""
+    across the reference's BoardChain ranges (synthetiser.py:45-49). The
+    exact Freeverb gain structure (0.015 input gain, JUCE wet/dry scaling)
+    makes every individual draw match, not just the distribution (measured
+    per-draw |delta| <= 0.01)."""
     sig = _drum_signal()
     rms_in = float(np.sqrt((sig**2).mean()))
     ro, ru = [], []
@@ -99,19 +115,19 @@ def test_reverb_energy_ratio_distribution_matches_freeverb():
         wet = r.uniform(0.1, 0.4)
         width = r.uniform(0.6, 1.0)
         yo = orc.freeverb(sig, SR, room, damp, wet, width=width)
-        yu = np.asarray(
-            fx.reverb(jnp.asarray(sig), SR, jax.random.PRNGKey(s), room, damp, wet, width)
-        )
+        yu = np.asarray(fx.reverb(jnp.asarray(sig), SR, room, damp, wet, width))
         ro.append(float(np.sqrt((yo**2).mean())) / rms_in)
         ru.append(float(np.sqrt((yu**2).mean())) / rms_in)
-    assert abs(np.mean(ru) - np.mean(ro)) < 0.2, (np.mean(ru), np.mean(ro))
-    assert 0.4 <= np.std(ru) / (np.std(ro) + 1e-9) <= 2.5, (np.std(ru), np.std(ro))
+    per_draw = np.abs(np.asarray(ru) - np.asarray(ro))
+    assert per_draw.max() < 0.05, (per_draw.max(), ru, ro)
+    assert abs(np.mean(ru) - np.mean(ro)) < 0.03, (np.mean(ru), np.mean(ro))
+    assert 0.8 <= np.std(ru) / (np.std(ro) + 1e-9) <= 1.25, (np.std(ru), np.std(ro))
 
 
 @pytest.mark.slow
 def test_compressor_static_curve_matches_juce():
     t = np.arange(N) / SR
-    for amp_db, max_delta in ((-12, 0.25), (-3, 1.0), (0, 1.0)):
+    for amp_db, max_delta in ((-12, 0.05), (-3, 0.15), (0, 0.15)):
         x = (10 ** (amp_db / 20) * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
         yo = orc.juce_compressor(x, SR, -6.0, 4.0, 10.0, 200.0)
         yu = np.asarray(
@@ -119,7 +135,7 @@ def test_compressor_static_curve_matches_juce():
         )
         go = orc.gain_reduction_db(x, yo)
         gu = orc.gain_reduction_db(x, yu)
-        # below threshold both are unity; above, within 1 dB (measured 0.55)
+        # below threshold both are unity; above, measured |delta| 0.006 dB
         assert abs(gu - go) <= max_delta, (amp_db, gu, go)
     # slope above threshold ~ (1/ratio - 1): between -6 and 0 dB input the
     # extra 6 dB must be reduced by ~4.5 dB in both
@@ -143,8 +159,8 @@ def test_limiter_ceiling_matches_juce():
     peak_o = 20 * np.log10(np.abs(yo[h:]).max())
     peak_u = 20 * np.log10(np.abs(yu[h:]).max())
     # steady state: both land at or below the threshold (JUCE's fixed 4:1
-    # pre-stage pushes further below; measured -6.41 vs -7.29 dB)
-    assert peak_u <= -3.0 + 0.5, peak_u
-    assert abs(peak_u - peak_o) <= 2.0, (peak_u, peak_o)
+    # pre-stage pushes further below; measured -6.93 vs -7.31 dB)
+    assert peak_u <= -3.0 + 0.25, peak_u
+    assert abs(peak_u - peak_o) <= 1.0, (peak_u, peak_o)
     # hard clamp contract
     assert np.abs(yu).max() <= 1.0 + 1e-6

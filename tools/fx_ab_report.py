@@ -42,11 +42,17 @@ def main() -> None:
     imp = np.zeros(N, np.float32)
     imp[100] = 1.0
 
+    # exact-topology check: at damping=0 the banded damping degenerates and
+    # the phase-decomposed combs/allpasses must equal the scipy IIR oracle
+    ir_o0 = orc.freeverb(imp, SR, 0.5, 0.0, 1.0, dry_level=0.0)
+    ir_u0 = np.asarray(fx.reverb(jnp.asarray(imp), SR, 0.5, 0.0, 1.0))
+    report["reverb_damp0_max_abs_diff"] = float(np.abs(ir_o0 - ir_u0).max())
+
     rt60 = {}
     for room in (0.2, 0.5, 0.8):
         ir_o = orc.freeverb(imp, SR, room, 0.5, 1.0, dry_level=0.0)
         ir_u = np.asarray(
-            fx.reverb(jnp.asarray(imp), SR, jax.random.PRNGKey(1), room, 0.5, 1.0)
+            fx.reverb(jnp.asarray(imp), SR, room, 0.5, 1.0)
         )
         rt60[room] = {
             "ours_s": round(orc.rt60_from_ir(ir_u, SR), 3),
@@ -58,7 +64,7 @@ def main() -> None:
     for damp in (0.2, 0.5, 0.8):
         ir_o = orc.freeverb(imp, SR, 0.5, damp, 1.0, dry_level=0.0)
         ir_u = np.asarray(
-            fx.reverb(jnp.asarray(imp), SR, jax.random.PRNGKey(1), 0.5, damp, 1.0)
+            fx.reverb(jnp.asarray(imp), SR, 0.5, damp, 1.0)
         )
         cent[damp] = {
             "ours_hz": round(orc.spectral_centroid(ir_u[100:], SR), 1),
@@ -86,7 +92,7 @@ def main() -> None:
         width = r.uniform(0.6, 1.0)
         yo = orc.freeverb(sig, SR, room, damp, wet, width=width)
         yu = np.asarray(
-            fx.reverb(jnp.asarray(sig), SR, jax.random.PRNGKey(s), room, damp, wet, width)
+            fx.reverb(jnp.asarray(sig), SR, room, damp, wet, width)
         )
         ro.append(float(np.sqrt((yo**2).mean())) / rms_in)
         ru.append(float(np.sqrt((yu**2).mean())) / rms_in)
@@ -95,6 +101,9 @@ def main() -> None:
         "ours_std": round(float(np.std(ru)), 3),
         "oracle_mean": round(float(np.mean(ro)), 3),
         "oracle_std": round(float(np.std(ro)), 3),
+        "max_per_draw_abs_delta": round(
+            float(np.abs(np.asarray(ru) - np.asarray(ro)).max()), 4
+        ),
     }
 
     t = np.arange(N) / SR
