@@ -136,29 +136,36 @@ def _blocks(x: jnp.ndarray, length: int) -> jnp.ndarray:
 
 
 def _comb_bank(
-    bands: list[jnp.ndarray], length: int, log_fbs: list[jnp.ndarray]
+    band_mat: jnp.ndarray, length: int, log_fbs: list[jnp.ndarray]
 ) -> jnp.ndarray:
     """Exact feedback combs y[t] = x[t-L] + fb*y[t-L] (zero initial state,
     like a fresh pedalboard instance processing the chunk buffer), summed
-    over the damping bands, as ONE matmul.
+    over the damping bands, as ONE contraction.
 
     Phase-decomposed closed form: y[k,p] = sum_{m<k} fb^(k-1-m) x[m,p] per
-    band — a strictly-lower-triangular (nb, nb) operator. The per-band
-    operators concatenate horizontally and the blocked band signals stack
-    vertically, so the whole bank for this delay is a single
-    (nb, B*nb) @ (B*nb, L) matmul (compile-friendly: 8 matmuls for the
-    whole reverb instead of 40). `log_fbs` are traced (feedback is
-    randomized per segment)."""
-    n = bands[0].shape[-1]
-    xb = jnp.stack([_blocks(b, length) for b in bands])  # (B, nb, L)
-    nb = xb.shape[1]
-    x_cat = xb.reshape(len(bands) * nb, length)
+    band — a strictly-lower-triangular (nb, nb) operator per band. The bank
+    is one `dot_general` contracting (band, source-block) jointly:
+    (B, nb, nb) . (B, nb, L) -> (nb, L) — 8 contractions for the whole
+    reverb instead of 40, with the band sum folded into the MXU reduction
+    (measured ~10% faster than the earlier horizontal-concat matmul at
+    production shapes). `log_fbs` are traced (feedback is randomized per
+    segment). `band_mat` is the (B, n) stack of damping-band signals.
+
+    Negative result, kept for the record: a two-level phase decomposition
+    (solving the block-axis recurrence itself blockwise, shrinking the
+    (nb, nb) operator to (s, s) + carries) is exact but measured 4-5x
+    SLOWER on TPU — the (s<=64)-sized matmuls it produces underfill the
+    MXU and the per-band loop breaks the single-contraction fusion."""
+    n = band_mat.shape[-1]
+    nb = -(-n // length)
+    xb = jnp.pad(band_mat, ((0, 0), (0, nb * length - n))).reshape(
+        band_mat.shape[0], nb, length
+    )
     k = jnp.arange(nb)
     e = (k[:, None] - 1 - k[None, :]).astype(jnp.float32)
-    t_cat = jnp.concatenate(
-        [jnp.where(e >= 0, jnp.exp(e * lfb), 0.0) for lfb in log_fbs], axis=1
-    )
-    return (t_cat @ x_cat).reshape(-1)[:n]
+    t = jnp.stack([jnp.where(e >= 0, jnp.exp(e * lfb), 0.0) for lfb in log_fbs])
+    y = jax.lax.dot_general(t, xb, (((0, 2), (0, 1)), ((), ())))
+    return y.reshape(-1)[:n]
 
 
 @functools.lru_cache(maxsize=None)
@@ -179,18 +186,39 @@ def _allpass(x: jnp.ndarray, length: int) -> jnp.ndarray:
     return (t_mat @ xb).reshape(-1)[:n]
 
 
+_FIR_BLOCK = 128  # measured fastest of {128, 256, 512} on v5e at these shapes
+
+
 def _causal_fir(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     """y_c[t] = sum_j kernels[c, j] * x[t-j] (zero history) for every
-    channel c, as ONE lax.conv (cross-correlation of the left-padded signal
-    with the reversed kernels — a single MXU-lowered op instead of
-    taps*channels shifted adds). x: (n,), kernels: (C, taps) -> (C, n)."""
-    taps = kernels.shape[-1]
-    lhs = jnp.pad(x, (taps - 1, 0))[None, None, :]  # (1, 1, n+taps-1)
-    rhs = kernels[:, None, ::-1]  # (C, 1, taps), flipped: conv == causal FIR
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID"
+    channel c, as ONE banded block matmul: the signal is windowed into
+    (nb, W-1+S) slabs (each S-block plus the W-1 samples preceding it) and
+    multiplied by one static-structured (W-1+S, C*S) tap matrix — dense MXU
+    work. Measured 3.2x faster than the lax.conv lowering at production
+    shapes (42 x 61440, W<=40: 1.35 -> 0.42 ms; the conv has the same
+    flops but a less tile-friendly layout). Exact to fp32 rounding, and
+    the degenerate kernel (1, 0, ...) reproduces x bit-exactly (the tap
+    matrix is then a 0/1 selector). x: (n,), kernels: (C, W) -> (C, n)."""
+    n = x.shape[-1]
+    c, w = kernels.shape
+    s = _FIR_BLOCK
+    assert w - 1 <= s, "kernel longer than the block's backward window"
+    nb = -(-n // s)
+    xp = jnp.pad(x, (w - 1, nb * s - n))
+    main = xp[w - 1 :].reshape(nb, s)
+    prev = xp[: nb * s].reshape(nb, s)[:, : w - 1]  # xp[b*s : b*s + w-1]
+    xw = jnp.concatenate([prev, main], axis=1)  # (nb, W-1+S)
+    i = jnp.arange(w - 1 + s)[:, None]  # window position
+    o = jnp.arange(s)[None, :]  # output position within block
+    j = (o + w - 1) - i  # tap index feeding (i, o)
+    valid = (j >= 0) & (j < w)
+    jc = jnp.clip(j, 0, w - 1)
+    t_mat = jnp.where(
+        valid[None], kernels[:, jc.reshape(-1)].reshape(c, w - 1 + s, s), 0.0
     )
-    return out[0]  # (C, n)
+    t2 = jnp.transpose(t_mat, (1, 0, 2)).reshape(w - 1 + s, c * s)
+    y = (xw @ t2).reshape(nb, c, s)
+    return jnp.transpose(y, (1, 0, 2)).reshape(c, nb * s)[:, :n]
 
 
 def _onepole_lp(x: jnp.ndarray, pole: jnp.ndarray) -> jnp.ndarray:
@@ -314,7 +342,7 @@ def reverb(
     fb = FREEVERB_ROOM_SCALE * room_size + FREEVERB_ROOM_OFFSET
     d = DAMP_SCALE * damping
     l1, l2, l4, l8 = _cascade_lowpasses(x, d)
-    bands = [l8, l4 - l8, l2 - l4, l1 - l2, x - l1]
+    bands = jnp.stack([l8, l4 - l8, l2 - l4, l1 - l2, x - l1])
     gains = _band_gains_energy(d, fb)
     log_fb = jnp.log(fb)
     log_fbs = [log_fb + jnp.log(jnp.maximum(a, 1e-12)) for a in gains]
