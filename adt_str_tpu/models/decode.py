@@ -130,7 +130,11 @@ def _anc_attention(
         "bhkd,bhtjd->bhktj", qb, k, preferred_element_type=jnp.float32
     ) / math.sqrt(hd)
     ancf = anc.astype(jnp.float32)  # (B, K, T, J)
-    sel = jnp.einsum("bhktj,bktj->bhkt", scores, ancf)
+    # precision='highest': fp32 dots at DEFAULT lower to one bf16 MXU pass
+    # on TPU, which would round the selected fp32 scores to 8 mantissa bits
+    # — the bit-exact-selection claim above must hold on-chip too. J=5
+    # contraction: negligible flops either way.
+    sel = jnp.einsum("bhktj,bktj->bhkt", scores, ancf, precision="highest")
     pos = jnp.arange(T_len)
     sel = sel + jnp.where(pos[None, None, None, :] > step, T.NEG_MASK, 0.0)
     probs = jax.nn.softmax(sel, axis=-1).astype(q.dtype)  # (B, H, K, T)
@@ -383,6 +387,10 @@ def beam_search_decode(
         was_finished = finished[flat_src]
         finished = was_finished | (tok_idx.reshape(-1) == end_token)
         perm = jax.nn.one_hot(beam_idx, K, dtype=anc.dtype)  # (B, K, K)
+        # 0/1-valued compute-dtype contraction: exact at ANY matmul
+        # precision (0 and 1 are exact in bf16 and each output sums exactly
+        # one nonzero product), so it is deliberately outside the fp32
+        # precision contract (tests/test_precision_contract.py).
         anc = jnp.einsum("bkj,bjts->bkts", perm, anc)
         eye_row = jnp.broadcast_to(
             jnp.eye(K, dtype=anc.dtype)[None, :, None, :], (B, K, 1, K)
@@ -396,7 +404,13 @@ def beam_search_decode(
     final_scores = score(log_probs, lengths).reshape(B, K)
     best = jnp.argmax(final_scores, axis=-1)  # (B,)
     # backtrace: position t of the best beam was consumed by slot
-    # anc[b, best, t]; one-hot x integer store is exact in fp32
+    # anc[b, best, t]; one-hot x integer store is exact in fp32 — but ONLY
+    # with precision='highest': TPU's DEFAULT lowers this to one bf16 MXU
+    # pass, rounding token ids >= 512 to their bf16 grid (spacing 4-8 across
+    # a 1400-token vocab) — i.e. silently corrupted beam transcriptions on
+    # the chip. Runs once per decode; cost is nil.
     anc_best = anc[jnp.arange(B), best].astype(jnp.float32)  # (B, T, K)
     tok_slots = tokens.reshape(B, K, max_length).astype(jnp.float32)
-    return jnp.einsum("btj,bjt->bt", anc_best, tok_slots).astype(jnp.int32)
+    return jnp.einsum(
+        "btj,bjt->bt", anc_best, tok_slots, precision="highest"
+    ).astype(jnp.int32)

@@ -156,7 +156,9 @@ def log_mel_spectrogram(
     frames = frame_signal(wave, params.n_fft, params.hop_length) * window
     spec = jnp.fft.rfft(frames, n=params.n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, frames, n_freqs)
-    mel = power @ fb  # (B, frames, n_mels)
+    # true fp32 dot on TPU (default would be one bf16 MXU pass, ~2e-3 rel
+    # err — this path's contract is torch.stft-parity, tests/test_mel.py)
+    mel = jnp.matmul(power, fb, precision="highest")  # (B, frames, n_mels)
     if params.log_mode == "db":
         logmel = 10.0 * jnp.log10(jnp.maximum(mel, params.log_floor))
     else:

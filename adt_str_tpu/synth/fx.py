@@ -108,12 +108,19 @@ def ema_scan(x: jnp.ndarray, coeff: jnp.ndarray, block: int = 128) -> jnp.ndarra
     i = jnp.arange(block)
     delta = (i[:, None] - i[None, :]).astype(jnp.float32)
     a_mat = jnp.where(delta >= 0, (1.0 - coeff) * jnp.exp(delta * logc), 0.0)
-    y_local = xb @ a_mat.T  # (nb, block)
+    # precision='highest': XLA:TPU's DEFAULT lowers fp32 dots to ONE bf16
+    # MXU pass (measured rel err ~2e-3 at these shapes) — the fidelity
+    # contract (tests/test_fx_distributions.py, validated at true fp32 on
+    # the CPU backend) must also hold on-chip. Measured cost inside the
+    # fused train step: ~neutral (these dots are latency-bound, not
+    # MXU-throughput-bound; bench A/B in docs/BENCHMARKS.md FX section).
+    y_local = jnp.matmul(xb, a_mat.T, precision="highest")  # (nb, block)
     last = y_local[:, -1]
     b = jnp.arange(nb)
     e = (b[:, None] - 1 - b[None, :]).astype(jnp.float32)
     t_mat = jnp.where(e >= 0, jnp.exp(e * (block * logc)), 0.0)
-    carries = t_mat @ last  # carry entering each block
+    # carry entering each block
+    carries = jnp.matmul(t_mat, last, precision="highest")
     decay = jnp.exp((i + 1).astype(jnp.float32) * logc)
     y = y_local + decay[None, :] * carries[:, None]
     return y.reshape(-1)[:n]
@@ -164,7 +171,13 @@ def _comb_bank(
     k = jnp.arange(nb)
     e = (k[:, None] - 1 - k[None, :]).astype(jnp.float32)
     t = jnp.stack([jnp.where(e >= 0, jnp.exp(e * lfb), 0.0) for lfb in log_fbs])
-    y = jax.lax.dot_general(t, xb, (((0, 2), (0, 1)), ((), ())))
+    # fp32 passes on the MXU (see ema_scan): the comb tail IS the reverb's
+    # fidelity claim; single-pass-bf16 default would inject ~2e-3 error.
+    # Probe at production shapes ((5,102,102)x(5,102,607), batch 40):
+    # highest 1.42 ms vs default 1.56 ms — latency-bound, exactness is free.
+    y = jax.lax.dot_general(
+        t, xb, (((0, 2), (0, 1)), ((), ())), precision="highest"
+    )
     return y.reshape(-1)[:n]
 
 
@@ -183,7 +196,7 @@ def _allpass(x: jnp.ndarray, length: int) -> jnp.ndarray:
     n = x.shape[-1]
     xb = _blocks(x, length)
     t_mat = jnp.asarray(_allpass_matrix(xb.shape[0]))
-    return (t_mat @ xb).reshape(-1)[:n]
+    return jnp.matmul(t_mat, xb, precision="highest").reshape(-1)[:n]
 
 
 _FIR_BLOCK = 128  # measured fastest of {128, 256, 512} on v5e at these shapes
@@ -217,7 +230,9 @@ def _causal_fir(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
         valid[None], kernels[:, jc.reshape(-1)].reshape(c, w - 1 + s, s), 0.0
     )
     t2 = jnp.transpose(t_mat, (1, 0, 2)).reshape(w - 1 + s, c * s)
-    y = (xw @ t2).reshape(nb, c, s)
+    # 'highest' keeps the degenerate (1, 0, ...) kernel an EXACT selector on
+    # TPU too (default bf16 pass would round x itself to bf16).
+    y = jnp.matmul(xw, t2, precision="highest").reshape(nb, c, s)
     return jnp.transpose(y, (1, 0, 2)).reshape(c, nb * s)[:, :n]
 
 

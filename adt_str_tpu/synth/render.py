@@ -233,8 +233,17 @@ def _sample_timbre_rows(
             member * jax.nn.one_hot(m, member.shape[1], dtype=member.dtype), axis=1
         )
         oh = jax.nn.one_hot(pitches, 128, dtype=jnp.float32)  # (N_SLOTS, 128)
-        counts = (oh @ statics.bin_count.astype(jnp.float32)).astype(jnp.int32)
-        offsets = (oh @ statics.bin_offset.astype(jnp.float32)).astype(jnp.int32)
+        # precision='highest': the fp32-exact-below-2^24 argument (from_bank
+        # guard) requires TRUE fp32 dots. XLA:TPU's default lowers fp32
+        # matmuls to one bf16 MXU pass, which rounds table VALUES to 8
+        # mantissa bits — bank-row offsets past 512 would land up to 64 rows
+        # off (silently wrong one-shots on any >512-row bank).
+        counts = jnp.matmul(
+            oh, statics.bin_count.astype(jnp.float32), precision="highest"
+        ).astype(jnp.int32)
+        offsets = jnp.matmul(
+            oh, statics.bin_offset.astype(jnp.float32), precision="highest"
+        ).astype(jnp.int32)
     else:
         counts = statics.bin_count[sl]  # (N_SLOTS, N_BINS) static slices
         offsets = statics.bin_offset[sl]
