@@ -344,8 +344,11 @@ def _score_classes(u, m):
     # round-2 curation bench time compilation instead of compute)
     u_n = u / jnp.linalg.norm(u, axis=1, keepdims=True)
     # true fp32 dot: on TPU the default single-bf16-pass lowering adds ~2e-3
-    # sim error, enough to flip argmax at near-ties — assignment must be
-    # deterministic across backends. Cost at 1M x 48: still ~0.03 s.
+    # sim error, enough to flip argmax at near-ties. This removes the
+    # final-matmul source of backend nondeterminism (the CLAP towers' own
+    # fp32 einsums upstream still run at default precision, so embeddings —
+    # and therefore genuinely tied scores — can differ across backends).
+    # Cost at 1M x 48: still ~0.03 s.
     sims = jnp.matmul(u_n, m.T, precision="highest")  # (U, C)
     return jnp.argmax(sims, axis=1), jnp.max(sims, axis=1)
 

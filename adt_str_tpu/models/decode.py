@@ -357,18 +357,32 @@ def beam_search_decode(
             params, config, tokens[:, step], step, caches, anc=anc
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B*K, V)
-        # finished beams contribute exactly one candidate: themselves + EOS at
-        # zero log-prob (score and length frozen)
-        eos_row = jnp.full((V,), NEG, jnp.float32).at[end_token].set(0.0)
-        logp = jnp.where(finished[:, None], eos_row[None, :], logp)
+        # Candidate layout reproduces the reference's TIE order exactly
+        # (model.py:422-457): the python loop builds candidates as [active
+        # beams in rank order, each with its top-k tokens in (prob desc,
+        # token asc) order] and then APPENDS finished beams; python's sort
+        # is stable, so at EXACT score ties actives beat finished, earlier
+        # ranks beat later, lower token ids beat higher. lax.top_k is
+        # equally stable (lowest flattened index first at equal values), so
+        # the flattened axis is laid out in that same order: the K*V active
+        # block (rank-major, token asc; finished beams' rows all -inf — no
+        # active candidates) followed by K appended finished-beam slots
+        # (frozen score, implied EOS token). This removes the last beam
+        # divergence vs the reference — equality holds AT ties too.
         cand_lp = log_probs[:, None] + logp  # (B*K, V)
-        cand_len = jnp.where(finished, lengths, lengths + 1)[:, None]
-        cand_score = score(cand_lp, jnp.broadcast_to(cand_len, cand_lp.shape))
-
-        cand_score = cand_score.reshape(B, K * V)
+        act_score = jnp.where(
+            finished[:, None],
+            NEG,
+            score(cand_lp, jnp.broadcast_to((lengths + 1)[:, None], cand_lp.shape)),
+        )
+        fin_score = jnp.where(finished, score(log_probs, lengths), NEG)  # (B*K,)
+        cand_score = jnp.concatenate(
+            [act_score.reshape(B, K * V), fin_score.reshape(B, K)], axis=1
+        )  # (B, K*V + K)
         _, top_idx = jax.lax.top_k(cand_score, K)  # (B, K)
-        beam_idx = top_idx // V  # source beam within item
-        tok_idx = (top_idx % V).astype(jnp.int32)
+        is_fin = top_idx >= K * V  # selected an appended finished-beam slot
+        beam_idx = jnp.where(is_fin, top_idx - K * V, top_idx // V)
+        tok_idx = jnp.where(is_fin, end_token, top_idx % V).astype(jnp.int32)
         flat_src = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)  # (B*K,)
 
         # Caches and the token store stay slot-local — NO beam reorder at
@@ -380,10 +394,15 @@ def beam_search_decode(
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok_idx.reshape(-1, 1), (0, step + 1)
         )
-        log_probs = cand_lp.reshape(B, K * V)[
-            jnp.arange(B)[:, None], top_idx
-        ].reshape(-1)
-        lengths = cand_len[flat_src, 0]
+        act_lp = cand_lp.reshape(B, K * V)[
+            jnp.arange(B)[:, None], jnp.minimum(top_idx, K * V - 1)
+        ]  # clamped gather; finished selections overridden below
+        log_probs = jnp.where(is_fin, log_probs.reshape(B, K)[
+            jnp.arange(B)[:, None], beam_idx
+        ], act_lp).reshape(-1)
+        lengths = jnp.where(
+            is_fin.reshape(-1), lengths[flat_src], lengths[flat_src] + 1
+        )
         was_finished = finished[flat_src]
         finished = was_finished | (tok_idx.reshape(-1) == end_token)
         perm = jax.nn.one_hot(beam_idx, K, dtype=anc.dtype)  # (B, K, K)
@@ -404,13 +423,12 @@ def beam_search_decode(
     final_scores = score(log_probs, lengths).reshape(B, K)
     best = jnp.argmax(final_scores, axis=-1)  # (B,)
     # backtrace: position t of the best beam was consumed by slot
-    # anc[b, best, t]; one-hot x integer store is exact in fp32 — but ONLY
-    # with precision='highest': TPU's DEFAULT lowers this to one bf16 MXU
-    # pass, rounding token ids >= 512 to their bf16 grid (spacing 4-8 across
-    # a 1400-token vocab) — i.e. silently corrupted beam transcriptions on
-    # the chip. Runs once per decode; cost is nil.
-    anc_best = anc[jnp.arange(B), best].astype(jnp.float32)  # (B, T, K)
-    tok_slots = tokens.reshape(B, K, max_length).astype(jnp.float32)
-    return jnp.einsum(
-        "btj,bjt->bt", anc_best, tok_slots, precision="highest"
-    ).astype(jnp.int32)
+    # anc[b, best, t]. The one-hot x token-id contraction runs entirely in
+    # int32 on the VPU — exact for any token id by construction, with no
+    # dependence on how XLA lowers fp32 dots (a single-bf16-pass lowering
+    # would round ids >= 512 on a 1400-token vocab; whether XLA picks that
+    # lowering is shape-dependent — tools/precision_probe.py). Runs once per
+    # decode; cost is nil.
+    anc_best = (anc[jnp.arange(B), best] != 0).astype(jnp.int32)  # (B, T, K)
+    tok_slots = tokens.reshape(B, K, max_length).astype(jnp.int32)  # (B, K, T)
+    return jnp.sum(anc_best * jnp.swapaxes(tok_slots, 1, 2), axis=-1)

@@ -172,9 +172,13 @@ def _comb_bank(
     e = (k[:, None] - 1 - k[None, :]).astype(jnp.float32)
     t = jnp.stack([jnp.where(e >= 0, jnp.exp(e * lfb), 0.0) for lfb in log_fbs])
     # fp32 passes on the MXU (see ema_scan): the comb tail IS the reverb's
-    # fidelity claim; single-pass-bf16 default would inject ~2e-3 error.
-    # Probe at production shapes ((5,102,102)x(5,102,607), batch 40):
-    # highest 1.42 ms vs default 1.56 ms — latency-bound, exactness is free.
+    # fidelity claim; the single-pass-bf16 default measures rel err 2.1e-3
+    # here. Probe timings at production shapes ((5,102,102)x(5,102,607),
+    # batch 40, tools/precision_probe.json) put default and highest within
+    # measurement noise of each other (the op is latency-bound; the
+    # ordering flips between probe runs) — the multi-pass exactness costs
+    # at most a few percent of this op, folded into the accepted FX
+    # fidelity cost (docs/BENCHMARKS.md).
     y = jax.lax.dot_general(
         t, xb, (((0, 2), (0, 1)), ((), ())), precision="highest"
     )
@@ -285,16 +289,38 @@ def _cascade_lowpasses(x: jnp.ndarray, d: jnp.ndarray) -> list[jnp.ndarray]:
     return [out[b] for b in range(len(_CASCADE_ORDERS))]
 
 
-def _band_gains_energy(d: jnp.ndarray, fb: jnp.ndarray) -> list[jnp.ndarray]:
-    """Per-band effective per-pass damping gains a_b, chosen so each band's
-    total steady-state comb energy matches the true in-loop filter exactly:
+_T20_BISECT_ITERS = 50  # resolution 4000/2^50 passes — far below fp32 eps
 
-      E_b = int w_b / (1 - fb^2 |H_d|^2)  /  int w_b   =  1 / (1 - fb^2 a_b^2)
 
-    with w_b the band filter's |F_b|^2 on a frequency grid (F_b = H^8,
-    H^4-H^8, H^2-H^4, H-H^2, 1-H). Echo m then decays as (fb*a_b)^(m-1) —
-    the geometric compounding the real in-loop one-pole applies, quantized
-    to five bands whose widths shrink toward DC where the late tail lives."""
+def _band_gains_decay(
+    d: jnp.ndarray, fb: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-band (per-pass feedback gain a_b (5,), input gain g_b (5,)).
+
+    a_b matches each band's Schroeder T20 DECAY RATE — the quantity the
+    RT60 estimator actually measures (tools/fx_oracle.py `rt60_from_ir`:
+    backward-integral -5..-25 dB slope x 3). In the pass domain the true
+    in-loop-damped band decays as the mixture
+
+        S_b(m) = sum_theta w_b(theta) e^{m g(theta)} / (-g),
+        g = ln(fb^2 |H_d|^2) < 0,
+
+    while the banded approximation is the single exponential (fb a_b)^{2m},
+    whose Schroeder decay is exactly linear in dB. Equating T20 slopes:
+    ln(fb a_b) = -ln(10) / (m25 - m5), with m5/m25 the mixture's -5/-25 dB
+    backward-integral times (bisected jointly on the frequency grid). The
+    earlier steady-state ENERGY match chose a_b too small — it averages
+    |H|^2 over the band where the T20 window is dominated by the band's
+    slowest modes — measuring 6-11% short on full-reverb RT60; this match
+    is the measured quantity itself.
+
+    g_b then restores exactly the steady-state band energy the energy
+    match used to provide: g_b^2 / (1 - fb^2 a_b^2) = E_b_true, keeping the
+    per-draw output-RMS parity (tests/test_fx_distributions.py) intact.
+
+    Both pins: empty bands (every F_b but H^8 vanishes at d == 0) and
+    d == 0 itself land at a_b = g_b = 1 exactly, preserving the bit-exact
+    Freeverb path at zero damping."""
     theta = jnp.linspace(1e-4, np.pi, _N_GRID)
     hre = 1.0 - d * jnp.cos(theta)
     him = -d * jnp.sin(theta)
@@ -304,8 +330,7 @@ def _band_gains_energy(d: jnp.ndarray, fb: jnp.ndarray) -> list[jnp.ndarray]:
     ang = -jnp.arctan2(him, hre)  # arg(H) = -arg(1 - d e^{-i theta})
     orders = (8, 4, 2, 1, 0)  # F_b = H^orders[b] - H^orders[b-1]
     mag2 = mag * mag
-    inv_energy = 1.0 / (1.0 - fb * fb * mag2)
-    gains = []
+    rows = []
     prev_re = prev_im = None
     for o in orders:
         if o == 0:
@@ -314,17 +339,47 @@ def _band_gains_energy(d: jnp.ndarray, fb: jnp.ndarray) -> list[jnp.ndarray]:
             re = mag**o * jnp.cos(o * ang)
             im = mag**o * jnp.sin(o * ang)
         if prev_re is None:
-            w = re * re + im * im
+            rows.append(re * re + im * im)
         else:
-            w = (re - prev_re) ** 2 + (im - prev_im) ** 2
+            rows.append((re - prev_re) ** 2 + (im - prev_im) ** 2)
         prev_re, prev_im = re, im
-        wsum = jnp.maximum(jnp.sum(w), 1e-30)
-        e_b = jnp.sum(w * inv_energy) / wsum
-        a2 = jnp.maximum(0.0, (1.0 - 1.0 / jnp.maximum(e_b, 1.0)))
-        a_b = jnp.sqrt(a2) / jnp.maximum(fb, 1e-6)
-        # empty band (d == 0 makes every F_b but H^8 vanish): pin gain 1
-        gains.append(jnp.where(jnp.sum(w) <= 1e-20, 1.0, jnp.minimum(a_b, 1.0)))
-    return gains
+    w = jnp.stack(rows)  # (5, N_GRID) band weights |F_b|^2
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-30)  # (5,)
+
+    fb2 = fb * fb
+    g = jnp.log(jnp.maximum(fb2 * mag2, 1e-30))  # (N_GRID,) < 0
+    inv_neg_g = 1.0 / jnp.maximum(-g, 1e-12)
+    s0 = jnp.maximum(jnp.sum(w * inv_neg_g[None, :], axis=1), 1e-30)  # (5,)
+
+    # joint bisection for the (-5, -25) dB backward-integral pass counts
+    targets = jnp.asarray([10.0 ** (-0.5), 10.0 ** (-2.5)])  # (2,)
+    lo = jnp.zeros((w.shape[0], 2))
+    hi = jnp.full((w.shape[0], 2), 4000.0)
+    for _ in range(_T20_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)  # (5, 2)
+        s_mid = jnp.sum(
+            w[:, None, :] * jnp.exp(mid[:, :, None] * g[None, None, :])
+            * inv_neg_g[None, None, :],
+            axis=2,
+        )
+        still_above = (s_mid / s0[:, None]) > targets[None, :]
+        lo = jnp.where(still_above, mid, lo)
+        hi = jnp.where(still_above, hi, mid)
+    m5, m25 = 0.5 * (lo + hi)[:, 0], 0.5 * (lo + hi)[:, 1]
+    dm = jnp.maximum(m25 - m5, 1e-6)
+    a_b = jnp.exp(-jnp.log(10.0) / dm) / jnp.maximum(fb, 1e-6)
+    a_b = jnp.clip(a_b, 0.0, 1.0)
+
+    # steady-state energy compensation (exactly the old match, moved to g_b)
+    e_true = jnp.sum(w / (1.0 - fb2 * mag2)[None, :], axis=1) / wsum  # (5,)
+    g_b = jnp.sqrt(jnp.maximum(e_true * (1.0 - fb2 * a_b * a_b), 0.0))
+
+    # pins: empty band, and d == 0 exactly (bit-exact Freeverb path)
+    empty = jnp.sum(w, axis=1) <= 1e-20
+    pin = empty | (d <= 1e-12)
+    a_b = jnp.where(pin, 1.0, a_b)
+    g_b = jnp.where(pin, 1.0, g_b)
+    return a_b, g_b
 
 
 def reverb(
@@ -341,12 +396,15 @@ def reverb(
     - in-loop damping (pole 0.4*damping) applied progressively in five
       bands: the input is split by cascade powers of the damping one-pole
       itself (H^8 .. 1-H, sharpest near DC where the Schroeder tail lives)
-      and each band's comb feedback compounds the energy-matched per-pass
-      gain (`_band_gains_energy`), so high frequencies decay faster ring by
-      ring; a small calibrated output pole (`_Q_FIT`) absorbs the residual
-      within-band tilt. Measured vs the scipy Freeverb oracle: RT60 ratio
-      0.87-0.95 over the room range, wet centroid within ~350 Hz over the
-      full (room, damping) grid, per-draw output RMS within 0.006;
+      and each band's comb feedback compounds a per-pass gain matched to
+      the band's Schroeder T20 decay rate — the quantity RT60 estimation
+      measures — with a per-band input gain restoring the exact
+      steady-state energy (`_band_gains_decay`), so high frequencies decay
+      faster ring by ring; a small calibrated output pole (`_Q_FIT`)
+      absorbs the residual within-band tilt. Measured vs the scipy
+      Freeverb oracle: RT60 within ~3% over the room range (see
+      tools/fx_ab_report.json), wet centroid within ~350 Hz over the full
+      (room, damping) grid, per-draw output RMS within 0.01;
     - 4 series allpasses (feedback 0.5), exact (`_allpass`);
     - JUCE mono mix: input gain 0.015, dry 2*(1-wet),
       wet 3*wet*(width/2+0.5). No empirical RMS calibration remains — the
@@ -358,9 +416,10 @@ def reverb(
     d = DAMP_SCALE * damping
     l1, l2, l4, l8 = _cascade_lowpasses(x, d)
     bands = jnp.stack([l8, l4 - l8, l2 - l4, l1 - l2, x - l1])
-    gains = _band_gains_energy(d, fb)
+    a_b, g_b = _band_gains_decay(d, fb)
+    bands = bands * g_b[:, None]
     log_fb = jnp.log(fb)
-    log_fbs = [log_fb + jnp.log(jnp.maximum(a, 1e-12)) for a in gains]
+    log_fbs = [log_fb + jnp.log(jnp.maximum(a_b[i], 1e-12)) for i in range(5)]
     wet = jnp.zeros_like(x)
     for t44 in COMB_TUNINGS_44K:
         wet = wet + _comb_bank(bands, _retuned(t44, sr), log_fbs)

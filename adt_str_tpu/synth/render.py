@@ -138,13 +138,6 @@ class SynthStatics(NamedTuple):
 
         if dtype is None:
             dtype = jnp.bfloat16 if _jax.default_backend() != "cpu" else jnp.float32
-        # the ADTOF one-hot MXU contraction in _sample_timbre_rows reads the
-        # int32 offset/count tables through f32 — exact only below 2^24 rows
-        if bank.waveforms.shape[0] >= (1 << 24):
-            raise ValueError(
-                f"bank has {bank.waveforms.shape[0]} one-shots; the f32 "
-                "one-hot table contraction is exact only below 2^24 rows"
-            )
         gib = (
             bank.waveforms.shape[0]
             * bank.waveforms.shape[1]
@@ -213,12 +206,14 @@ def _sample_timbre_rows(
     Gather-free by construction: XLA:TPU lowers data-dependent gathers to
     element-at-a-time loops (~1 us each — the vmapped B x N_SLOTS x 2-draw
     stage measured ~2 ms/step of pure gather loops). The static pitch range
-    makes the table reads contiguous slices, the ADTOF member redirect is a
-    one-hot MXU contraction over the 128 pitch rows (exact: all table values
-    < 2^24, guarded in `SynthStatics.from_bank`), and the chosen-bin
-    count/offset reads are one-hot multiplies over the N_BINS axis. Draw
-    order and index math are unchanged, so results are bit-identical to the
-    gathered formulation."""
+    makes the table reads contiguous slices, the ADTOF member redirect and
+    the chosen-bin count/offset reads are one-hot multiply-sums carried out
+    entirely in int32 on the VPU — exact for any table value by
+    construction, with no dependence on how XLA lowers fp32 dots (the
+    earlier fp32-matmul formulation was exact only under a true-fp32
+    lowering; tools/precision_probe.py records that XLA's choice is
+    shape-dependent). Draw order and index math are unchanged, so results
+    are bit-identical to the gathered formulation."""
     k_member, k_bin, k_timbre = jax.random.split(key, 3)
     sl = slice(PITCH_LO, PITCH_HI + 1)
 
@@ -232,18 +227,21 @@ def _sample_timbre_rows(
         pitches = jnp.sum(
             member * jax.nn.one_hot(m, member.shape[1], dtype=member.dtype), axis=1
         )
-        oh = jax.nn.one_hot(pitches, 128, dtype=jnp.float32)  # (N_SLOTS, 128)
-        # precision='highest': the fp32-exact-below-2^24 argument (from_bank
-        # guard) requires TRUE fp32 dots. XLA:TPU's default lowers fp32
-        # matmuls to one bf16 MXU pass, which rounds table VALUES to 8
-        # mantissa bits — bank-row offsets past 512 would land up to 64 rows
-        # off (silently wrong one-shots on any >512-row bank).
-        counts = jnp.matmul(
-            oh, statics.bin_count.astype(jnp.float32), precision="highest"
-        ).astype(jnp.int32)
-        offsets = jnp.matmul(
-            oh, statics.bin_offset.astype(jnp.float32), precision="highest"
-        ).astype(jnp.int32)
+        # exact int32 one-hot table read, fused on the VPU: 0/1 int32 mask
+        # times the int32 tables, reduced over the 128 pitch rows. Integer
+        # multiply-add is exact for any representable table value, so row
+        # offsets of arbitrarily large banks survive verbatim — unlike an
+        # fp32 MXU contraction, whose exactness depends on XLA's
+        # (shape-dependent) lowering choice (tools/precision_probe.py).
+        ohi = (
+            pitches[:, None] == jnp.arange(128, dtype=pitches.dtype)[None, :]
+        ).astype(jnp.int32)  # (N_SLOTS, 128)
+        tbl = jnp.concatenate(
+            [statics.bin_count, statics.bin_offset], axis=1
+        )  # (128, 2*N_BINS) int32
+        sel_tbl = jnp.sum(ohi[:, :, None] * tbl[None, :, :], axis=1)
+        counts = sel_tbl[:, :N_BINS]
+        offsets = sel_tbl[:, N_BINS:]
     else:
         counts = statics.bin_count[sl]  # (N_SLOTS, N_BINS) static slices
         offsets = statics.bin_offset[sl]

@@ -1,22 +1,25 @@
-"""fp32 matmul-precision contract: exactness-bearing dots must be HIGHEST.
+"""fp32 matmul-precision contract: exactness-bearing fp32 dots are HIGHEST.
 
-XLA:TPU lowers fp32 `dot_general` at DEFAULT precision to a SINGLE bf16 MXU
-pass (measured on v5e: rel err ~2.1e-3 at comb-bank shapes), silently
-rounding both operands to 8 mantissa bits. Every numerical contract in this
-framework that is validated on the CPU backend (where dots are always true
-fp32) therefore only holds on-chip if the dot carries an explicit
-`precision="highest"`:
+XLA:TPU's DEFAULT lowering of fp32 `dot_general` is shape-dependent: at
+MXU-sized shapes it uses a SINGLE bf16 pass (measured on v5e: rel err
+~2.1e-3 at the FX comb-bank shapes), silently rounding both operands to 8
+mantissa bits, while small dots can evaluate exactly
+(tools/precision_probe.json `onehot_shape_sweep`). Every numerical contract
+in this framework that is validated on the CPU backend (where dots are
+always true fp32) therefore only holds on-chip if the dot either carries an
+explicit `precision="highest"` or avoids fp32 dots altogether:
 
-- the FX chain's phase-decomposed combs/allpasses/EMAs/FIRs
-  (tests/test_fx_distributions.py asserts bit-exact Freeverb at damping 0,
-  <= 0.006 dB compressor error — all fp32-level claims);
-- the ADTOF one-hot bank-table reads in `_sample_timbre_rows` (row OFFSETS
-  up to bank size: a bf16 pass rounds offsets past 512 to multiples of
-  their exponent spacing — up to 64 rows off on a 30k bank, i.e. silently
-  WRONG one-shots; the from_bank 2^24 guard assumes true-fp32 dots);
+- the FX chain's phase-decomposed combs/allpasses/EMAs/FIRs carry
+  `precision="highest"` (tests/test_fx_distributions.py asserts bit-exact
+  Freeverb at damping 0, <= 0.006 dB compressor error — fp32-level claims);
 - the XLA-path mel matmul (torch.stft parity island, tests/test_mel.py);
 - the CLAP class-assignment similarity matmul (argmax near-ties must be
-  backend-deterministic).
+  backend-deterministic at the final dot);
+- the beam ancestor score-select (bit-exact selection of fp32 scores);
+- the ADTOF one-hot bank-table reads (`_sample_timbre_rows`) and the beam
+  token backtrace instead run in int32 on the VPU — exact for any table
+  value by construction, REMOVING them from the fp32 contract entirely
+  (integer multiply-add has no precision mode to get wrong).
 
 These tests lock the contract portably: they lower the jitted programs to
 StableHLO text (the precision attribute is backend-independent) and assert
@@ -34,29 +37,42 @@ import jax.numpy as jnp
 
 from adt_str_tpu.ops.mel import MelFrontendParams, log_mel_spectrogram
 from adt_str_tpu.synth import fx
-from adt_str_tpu.synth.bank import make_test_bank
+from adt_str_tpu.synth.bank import N_BINS, make_test_bank
 from adt_str_tpu.synth.render import SynthStatics, render_batch_arrays
 
 SR = 8000
 
 _DOT_RE = re.compile(r"stablehlo\.dot_general\b.*")
+# the trailing type signature: `: (tensor<...>, tensor<...>) -> tensor<...>`
+_SIG_RE = re.compile(
+    r":\s*\(tensor<([^>]*)>,\s*tensor<([^>]*)>\)\s*->\s*tensor<([^>]*)>"
+)
+
+
+def _elem_type(tensor_body: str) -> str:
+    """'2x3xf32' -> 'f32'; rank-0 'f32' -> 'f32'."""
+    return tensor_body.split("x")[-1]
 
 
 def _assert_f32_dots_highest(stablehlo_text: str, context: str) -> int:
-    """Every dot_general whose result is f32 must be precision HIGHEST.
+    """Every dot_general with BOTH operands f32 must be precision HIGHEST.
     Returns the number of such dots (callers assert > 0 so an empty match
-    can't silently pass)."""
+    can't silently pass). Parses the operand/result types explicitly —
+    including rank-0 tensors — so an exactness-bearing dot can't silently
+    fall out of coverage on a formatting quirk."""
     n_f32 = 0
     for line in stablehlo_text.splitlines():
         m = _DOT_RE.search(line)
         if m is None:
             continue
         op = m.group(0)
-        # fp32 contracts only: BOTH operands and the result must be f32
-        # (bf16-operand dots with f32 accumulation are the model's
-        # deliberate compute-dtype choice, not covered by this contract)
-        sig = op.split(":")[-1]
-        if "xbf16>" in sig or "xf32>" not in sig.split("->")[-1]:
+        sig = _SIG_RE.search(op)
+        assert sig is not None, f"{context}: unparseable dot_general: {op[:160]}"
+        lhs, rhs, res = (_elem_type(g) for g in sig.groups())
+        # fp32 contract only: BOTH operands f32 (bf16-operand dots with f32
+        # accumulation are the model's deliberate compute-dtype choice;
+        # integer dots are exact at any precision)
+        if not (lhs == "f32" and rhs == "f32"):
             continue
         n_f32 += 1
         assert "HIGHEST" in op, f"{context}: fp32 dot at DEFAULT precision: {op[:160]}"
@@ -76,7 +92,7 @@ def test_fx_chain_dots_are_highest():
 
 
 def test_full_render_program_dots_are_highest():
-    """End-to-end: the production synthesis program (ADTOF one-hot table
+    """End-to-end: the production synthesis program (ADTOF int32 table
     reads + mixup + full FX) contains no fp32 dot at DEFAULT precision."""
     rng = np.random.default_rng(0)
     bank = make_test_bank(rng, [35, 38, 42], sample_rate=SR, max_len=SR // 4)
@@ -91,7 +107,8 @@ def test_full_render_program_dots_are_highest():
         use_limiter_prob=1.0, adtof=True,
     )
     n = _assert_f32_dots_highest(lowered.as_text(), "render_batch_arrays")
-    assert n >= 12, f"expected FX + table-read fp32 dots in the program, got {n}"
+    # all remaining fp32 dots are the FX chain's (the table reads are int32)
+    assert n >= 10, f"expected FX fp32 dots in the program, got {n}"
 
 
 def test_mel_xla_path_dot_is_highest():
@@ -115,12 +132,10 @@ def test_clap_assignment_dot_is_highest():
 
 
 def test_beam_decode_program_f32_dots_are_highest():
-    """The bf16-compute beam program's only fp32 dots are the mel matmul,
-    the ancestor score-select, and the token backtrace — each
-    exactness-bearing (the backtrace contracts TOKEN IDS: one bf16 pass
-    would round ids >= 512 on a 1400-token vocab). The ancestor
-    permutation einsum runs in compute dtype on 0/1 values (exact at any
-    precision) and is deliberately outside the contract."""
+    """The bf16-compute beam program's only fp32 dots are the mel matmul
+    and the ancestor score-select — each exactness-bearing. The token
+    backtrace and the ancestor permutation run in integer / 0-1 arithmetic
+    (exact at any precision) and are deliberately outside the contract."""
     from adt_str_tpu.config import ModelConfig
     from adt_str_tpu.models import adt
     from adt_str_tpu.models.decode import beam_search_decode
@@ -138,19 +153,36 @@ def test_beam_decode_program_f32_dots_are_highest():
     )
     txt = f.lower(params, wave).as_text()
     n = _assert_f32_dots_highest(txt, "beam_search_decode")
-    assert n >= 3, f"expected mel + select + backtrace dots, got {n}"
+    assert n >= 2, f"expected mel + ancestor-select fp32 dots, got {n}"
 
 
-def test_adtof_table_reads_exact_values_via_dot():
-    """Behavioral check (CPU exact either way; locks intent): the one-hot
-    table-read path reproduces direct indexing for offsets well past 512,
-    where a bf16-pass dot would round."""
-    bin_count = np.zeros((128, 4), np.int32)
-    bin_offset = np.zeros((128, 4), np.int32)
-    bin_count[40] = [3, 2, 1, 0]
-    bin_offset[40] = [29_951, 12_345, 517, 0]
-    oh = jax.nn.one_hot(jnp.asarray([40]), 128, dtype=jnp.float32)
-    off = jnp.matmul(
-        oh, jnp.asarray(bin_offset, jnp.float32), precision="highest"
+def test_adtof_table_reads_are_integer_exact():
+    """Behavioral check: the production int32 one-hot table read reproduces
+    direct indexing for offsets well past 512 (where a single-bf16-pass fp32
+    dot would round) AND well past 2^24 (where even a true fp32 dot would) —
+    integer multiply-add is exact for any int32 value."""
+    tbl = np.zeros((128, 2 * N_BINS), np.int32)
+    tbl[40, :6] = [20_000_003, 29_951, 12_345, 517, 3, 0]
+    pitches = jnp.asarray([40, 41], jnp.int32)
+    ohi = (
+        pitches[:, None] == jnp.arange(128, dtype=pitches.dtype)[None, :]
     ).astype(jnp.int32)
-    np.testing.assert_array_equal(np.asarray(off)[0], bin_offset[40])
+    sel = jnp.sum(ohi[:, :, None] * jnp.asarray(tbl)[None, :, :], axis=1)
+    np.testing.assert_array_equal(np.asarray(sel), tbl[[40, 41]])
+
+
+def test_beam_backtrace_is_integer_exact():
+    """The backtrace contraction (one-hot ancestry x token ids) runs in
+    int32: token ids >= 512 on a 1400-token vocab survive verbatim."""
+    B, T, K = 2, 4, 3
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, 1400, size=(B, K, T)).astype(np.int32)
+    anc_idx = rng.integers(0, K, size=(B, T))
+    anc = np.eye(K, dtype=np.int32)[anc_idx]  # (B, T, K)
+    got = jnp.sum(
+        jnp.asarray(anc) * jnp.swapaxes(jnp.asarray(tokens), 1, 2), axis=-1
+    )
+    exact = np.take_along_axis(
+        np.swapaxes(tokens, 1, 2), anc_idx[:, :, None], axis=2
+    )[:, :, 0]
+    np.testing.assert_array_equal(np.asarray(got), exact)

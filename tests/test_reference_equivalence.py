@@ -10,9 +10,15 @@ via `params_to_torch_state_dict`, and asserts:
 - `beam_search` token-for-token equality (model.py:326-500) — the
   vectorized lax.while_loop beam vs the reference's python dict-of-beams.
 
-The generator weights are sharpened (x4) after random init so decode
-decisions are far from ties; layer-level numeric parity is established
-separately in test_model_parity.py. Skipped when /root/reference is absent.
+The weights are plain random init — no generator sharpening (the round-4
+crutch that kept decode decisions away from ties is gone): greedy and beam
+equality hold on raw near-tie margins, and `test_beam_search_matches_
+reference_at_exact_ties` drives the beam through ENGINEERED exact score
+ties (tied generator biases) where only matching the reference's stable
+candidate order (actives in rank order, token asc; finished appended last —
+model.py:422-457) produces the same output. Layer-level numeric parity is
+established separately in test_model_parity.py. Skipped when
+/root/reference is absent.
 """
 
 import json
@@ -120,26 +126,9 @@ def _truncate_at_eos(row: np.ndarray) -> list[int]:
     return out
 
 
-@pytest.fixture(scope="module")
-def reference_outputs(tmp_path_factory):
-    cfg = _tiny_config()
-    params = adt.init_params(jax.random.PRNGKey(11), cfg)
-    # sharpen decode decisions away from random-init ties
-    params["decoder"]["generator"]["w"] = params["decoder"]["generator"]["w"] * 4.0
-    params["decoder"]["generator"]["b"] = params["decoder"]["generator"]["b"] * 4.0
-
-    rng = np.random.default_rng(5)
-    B = 4
-    wave = (rng.normal(size=(B, cfg.chunk_samples)) * 0.2).astype(np.float32)
-    tokens = np.full((B, 12), 1, dtype=np.int64)
-    for i in range(B):
-        n = int(rng.integers(5, 11))
-        tokens[i, 0] = 2
-        tokens[i, 1 : n - 1] = rng.integers(4, cfg.tgt_vocab_size, n - 2)
-        tokens[i, n - 1] = 3
-    lengths = (tokens != 1).sum(axis=1).astype(np.int64)
-    lengths = lengths - (lengths == lengths.max()).astype(np.int64)
-
+def _run_reference(td, cfg, params, wave, tokens, lengths, beam, max_len):
+    """Run the genuine /root/reference model.py in a torch subprocess with
+    our exported weights; returns the loaded npz of (loss, greedy, beam)."""
     sd = params_to_torch_state_dict(params)
     ref_cfg = dict(
         input_sec=cfg.input_sec,
@@ -157,7 +146,6 @@ def reference_outputs(tmp_path_factory):
         plain=True,
         n_mels=cfg.n_mels,
     )
-    td = tmp_path_factory.mktemp("refbeam")
     blob = {f"sd.{k}": v for k, v in sd.items()}
     np.savez(
         td / "in.npz",
@@ -166,8 +154,8 @@ def reference_outputs(tmp_path_factory):
         lengths=lengths,
         cfg=json.dumps(ref_cfg),
         sd_keys=json.dumps(list(sd.keys())),
-        max_len=MAX_LEN,
-        beam=BEAM,
+        max_len=max_len,
+        beam=beam,
         **blob,
     )
     runner = td / "runner.py"
@@ -179,7 +167,28 @@ def reference_outputs(tmp_path_factory):
         timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    ref = np.load(td / "out.npz")
+    return np.load(td / "out.npz")
+
+
+@pytest.fixture(scope="module")
+def reference_outputs(tmp_path_factory):
+    cfg = _tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(11), cfg)
+
+    rng = np.random.default_rng(5)
+    B = 4
+    wave = (rng.normal(size=(B, cfg.chunk_samples)) * 0.2).astype(np.float32)
+    tokens = np.full((B, 12), 1, dtype=np.int64)
+    for i in range(B):
+        n = int(rng.integers(5, 11))
+        tokens[i, 0] = 2
+        tokens[i, 1 : n - 1] = rng.integers(4, cfg.tgt_vocab_size, n - 2)
+        tokens[i, n - 1] = 3
+    lengths = (tokens != 1).sum(axis=1).astype(np.int64)
+    lengths = lengths - (lengths == lengths.max()).astype(np.int64)
+
+    td = tmp_path_factory.mktemp("refbeam")
+    ref = _run_reference(td, cfg, params, wave, tokens, lengths, BEAM, MAX_LEN)
     return cfg, params, wave, tokens, lengths, ref
 
 
@@ -218,3 +227,78 @@ def test_beam_search_matches_reference(reference_outputs):
     assert sum(len(_truncate_at_eos(ours[i])) for i in range(wave.shape[0])) >= 8
     for i in range(wave.shape[0]):
         assert _truncate_at_eos(ours[i]) == _truncate_at_eos(ref["beam"][i]), i
+
+
+def _tied_params(cfg, bias_spec):
+    """Zero the generator weight and set its bias to tied groups: every
+    step's logits are constant, so beam dynamics are determined purely by
+    score arithmetic and candidate ORDERING."""
+    params = adt.init_params(jax.random.PRNGKey(3), cfg)
+    gen = params["decoder"]["generator"]
+    bias = np.zeros(cfg.tgt_vocab_size, np.float32)
+    for tok, val in bias_spec.items():
+        bias[tok] = val
+    params["decoder"]["generator"] = {
+        "w": jnp.zeros_like(gen["w"]),
+        "b": jnp.asarray(bias),
+    }
+    return params
+
+
+def test_beam_search_matches_reference_at_exact_ties(tmp_path_factory):
+    """Beam equality AT saturated exact score ties (VERDICT r4 #5): a
+    3-way exact tie {EOS, 10, 20} tops every step. Whatever within-beam
+    order torch.topk picks, the reference's beam set is {[2,3] (finished,
+    score c/2), two longer actives (score 2c/3 < c/2)} — so equality of
+    the returned best row pins that our tie handling (frozen-score
+    bookkeeping, actives-then-finished candidate layout, final argmax)
+    matches the reference's stable-sort semantics through steps that are
+    ENTIRELY ties. (Within-beam token tie ORDER itself is unspecified in
+    the reference — see test_beam_tie_order_is_deterministic.)"""
+    cfg = _tiny_config()
+    params = _tied_params(cfg, {3: 1.0, 10: 1.0, 20: 1.0})
+
+    B = 2
+    rng = np.random.default_rng(7)
+    wave = (rng.normal(size=(B, cfg.chunk_samples)) * 0.2).astype(np.float32)
+    tokens = np.full((B, 6), 1, dtype=np.int64)
+    tokens[:, 0], tokens[:, 1], tokens[:, 2] = 2, 4, 3
+    lengths = np.asarray([3, 2], np.int64)
+
+    td = tmp_path_factory.mktemp("ties")
+    ref = _run_reference(td, cfg, params, wave, tokens, lengths, 3, 8)
+    ours = np.asarray(
+        beam_search_decode(
+            params, jnp.asarray(wave), cfg, beam_size=3, max_length=8,
+            length_penalty=1.0,
+        )
+    )
+    for i in range(B):
+        assert _truncate_at_eos(ours[i]) == _truncate_at_eos(ref["beam"][i]), (
+            i, ours[i], ref["beam"][i],
+        )
+
+
+def test_beam_tie_order_is_deterministic():
+    """Documented divergence (docs/PARITY.md "Beam ties"): at exact
+    WITHIN-BEAM token-score ties the reference inherits torch.topk's
+    ordering, which is UNSPECIFIED and erratic (measured on this host:
+    torch.topk(zeros(48), 3) returns [33, 31, 32]; tied pairs come back
+    higher-index-first in small vectors but lower-index-first at size
+    1400) — there is no defined reference behavior to reproduce. Ours is
+    pinned: lax.top_k is stable (lowest flattened index first), and the
+    candidate axis is laid out (rank-major, token-ascending, finished
+    appended last), so a {4, 5} tie above a sub-tied EOS must collapse
+    deterministically onto [2, 4, 4, ...]."""
+    cfg = _tiny_config()
+    params = _tied_params(cfg, {4: 1.0, 5: 1.0, 3: 0.8})
+    rng = np.random.default_rng(7)
+    wave = (rng.normal(size=(2, cfg.chunk_samples)) * 0.2).astype(np.float32)
+    ours = np.asarray(
+        beam_search_decode(
+            params, jnp.asarray(wave), cfg, beam_size=2, max_length=8,
+            length_penalty=1.0,
+        )
+    )
+    for i in range(2):
+        assert ours[i].tolist() == [2, 4, 4, 4, 4, 4, 4, 4], ours[i]
