@@ -164,14 +164,31 @@ def run_inference(
             wavs_dev = jax.device_put(jnp.asarray(wavs), sharding)
         else:
             wavs_dev = jnp.asarray(wavs)
+        # mesh runs go through the shard_map'd decoders: each device decodes
+        # its own rows (GSPMD cannot partition the mel custom call — it
+        # would all-gather the batch; see models/decode.py "mesh decode")
         if cfg.use_beam_search:
-            tokens_pred = decode_lib.beam_search_decode(
-                params,
-                wavs_dev,
-                model_config,
-                beam_size=cfg.beam_size or 5,
-                max_length=max_len,
-                start_token=tokenizer.BOS_token,
+            if mesh is not None:
+                tokens_pred = decode_lib.beam_search_decode_sharded(
+                    params, wavs_dev, model_config, mesh,
+                    beam_size=cfg.beam_size or 5, max_length=max_len,
+                    start_token=tokenizer.BOS_token,
+                    end_token=tokenizer.EOS_token,
+                )
+            else:
+                tokens_pred = decode_lib.beam_search_decode(
+                    params,
+                    wavs_dev,
+                    model_config,
+                    beam_size=cfg.beam_size or 5,
+                    max_length=max_len,
+                    start_token=tokenizer.BOS_token,
+                    end_token=tokenizer.EOS_token,
+                )
+        elif mesh is not None:
+            tokens_pred = decode_lib.greedy_decode_sharded(
+                params, wavs_dev, model_config, mesh,
+                max_length=max_len, start_token=tokenizer.BOS_token,
                 end_token=tokenizer.EOS_token,
             )
         else:

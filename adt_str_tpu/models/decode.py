@@ -432,3 +432,79 @@ def beam_search_decode(
     anc_best = (anc[jnp.arange(B), best] != 0).astype(jnp.int32)  # (B, T, K)
     tok_slots = tokens.reshape(B, K, max_length).astype(jnp.int32)  # (B, K, T)
     return jnp.sum(anc_best * jnp.swapaxes(tok_slots, 1, 2), axis=-1)
+
+
+# ---------------------------------------------------------------- mesh decode
+# Data-parallel decoding over a mesh. Decoding is purely batch-parallel, but
+# its programs contain custom calls GSPMD cannot partition (the Pallas mel
+# kernel on TPU, ducc-FFT on CPU) — under plain jit-with-sharded-args the
+# partitioner REPLICATES those ops, all-gathering the whole batch first
+# (same finding as the train step; see parallel/train_step.py module
+# docstring). A data-manual shard_map makes each device decode its own rows
+# with zero collectives. Wrappers are cached per (config, mesh, decode args)
+# so repeated batches reuse one compiled program.
+
+import functools as _functools
+
+from jax.sharding import PartitionSpec as _P
+
+
+@_functools.lru_cache(maxsize=None)
+def _sharded_decode_fn(
+    mesh,
+    config: ModelConfig,
+    use_beam: bool,
+    beam_size: int,
+    max_length: int,
+    start_token: int,
+    end_token: int,
+    length_penalty: float,
+):
+    if use_beam:
+        def inner(params, wave):
+            return beam_search_decode(
+                params, wave, config, beam_size=beam_size,
+                max_length=max_length, start_token=start_token,
+                end_token=end_token, length_penalty=length_penalty,
+            )
+    else:
+        def inner(params, wave):
+            return greedy_decode(
+                params, wave, config, max_length=max_length,
+                start_token=start_token, end_token=end_token,
+            )
+    return jax.jit(
+        jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(_P(), _P("data")),
+            out_specs=_P("data"),
+            axis_names=frozenset({"data"}),
+            check_vma=False,
+        )
+    )
+
+
+def greedy_decode_sharded(
+    params, wave, config: ModelConfig, mesh,
+    max_length: int = 1000, start_token: int = 2, end_token: int = 3,
+):
+    """`greedy_decode` with each device decoding its own batch rows
+    (data-manual shard_map). Batch must be divisible by the data axis."""
+    fn = _sharded_decode_fn(
+        mesh, config, False, 0, max_length, start_token, end_token, 0.0
+    )
+    return fn(params, wave)
+
+
+def beam_search_decode_sharded(
+    params, wave, config: ModelConfig, mesh,
+    beam_size: int = 5, max_length: int = 1000,
+    start_token: int = 2, end_token: int = 3, length_penalty: float = 1.0,
+):
+    """`beam_search_decode` with each device decoding its own batch rows."""
+    fn = _sharded_decode_fn(
+        mesh, config, True, beam_size, max_length, start_token, end_token,
+        length_penalty,
+    )
+    return fn(params, wave)

@@ -2,11 +2,27 @@
 
 Replaces the reference's HF-Trainer inner loop (`train.py:40-78` compute_loss +
 accelerate DDP). One XLA program per step: forward (bf16) -> fp32 loss ->
-backward -> global-norm clip -> AdamW update. Under a (data, model) mesh the
-gradient reduction is a `psum` over ICI inserted by the compiler from the
-sharding layout; there is no hand-written collective code, matching the
-reference's "no repo-level collectives" design at the TPU-native level
-(SURVEY.md §2.4).
+backward -> global-norm clip -> AdamW update.
+
+Data-parallel structure (round 5): with a mesh, the per-device computation
+(synthesis render + FX + mel + transformer fwd/bwd) runs inside
+`jax.shard_map` MANUAL over the `data` axis, with an explicit gradient/loss
+`pmean` over ICI; the `model` axis (TP) stays AUTO, so GSPMD continues to
+partition the model-parallel matmuls inside each shard. Rationale: the input
+path is built from custom calls (Pallas render/placement/mel kernels on TPU;
+ducc-FFT on CPU) that GSPMD cannot partition — under plain jit-with-sharded-
+args it REPLICATES them, all-gathering the full batch first (measured on the
+virtual 8-device mesh: two 637 MB all-gathers of the blend tensor + a 134 MB
+mel-frame gather per step — none of which exist under shard_map, where every
+shard runs its own local kernels). This is the scaling-book recipe: manual
+collectives exactly where the compiler cannot infer locality, `psum/pmean`
+over ICI for the gradient reduction (SURVEY.md §2.4).
+
+Per-shard synthesis PRNG: inside shard_map the step rng is folded with
+`axis_index("data")` so augmentation draws differ across shards (a replicated
+key would render correlated timbres). The augmentation STREAM therefore
+differs between mesh layouts — same family, different draws — exactly like
+the reference's ambient per-worker randomness (SURVEY.md §7).
 
 Notable deviations from the reference, by design:
 - no per-step `gc.collect()`/`empty_cache()` (reference anti-pattern,
@@ -23,11 +39,33 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
 from adt_str_tpu.config import ModelConfig
 from adt_str_tpu.models import adt
 
 Params = dict[str, Any]
+
+
+def _data_manual(mesh) -> bool:
+    """True when `mesh` has a >1 data axis to be manual over."""
+    return mesh is not None and dict(mesh.shape).get("data", 1) > 1
+
+
+def _shard_map_grads(grads_fn, mesh):
+    """Wrap `grads_fn(params, batch, rng, statics) -> (loss, grads)` in a
+    data-manual shard_map: batch sharded over `data`, everything else
+    replicated w.r.t. `data` (the `model` axis stays AUTO for TP). The inner
+    fn is responsible for the pmean and the per-shard rng fold-in."""
+    axis_names = frozenset({"data"})
+    return jax.shard_map(
+        grads_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=(P(), P()),
+        axis_names=axis_names,
+        check_vma=False,
+    )
 
 
 class TrainState(NamedTuple):
@@ -40,13 +78,18 @@ def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainS
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(config: ModelConfig, tx: optax.GradientTransformation):
+def make_train_step(
+    config: ModelConfig, tx: optax.GradientTransformation, mesh=None
+):
     """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
 
     `batch`: {"wavs": (B, samples) f32, "tokens": (B, T) i32,
     "token_lengths": (B,) i32}. Token lengths follow the reference collate
     convention (apply `adt.collate_token_lengths` host- or device-side first).
+    With a mesh, grads are computed inside a data-manual shard_map (see
+    module docstring) and pmean'd over ICI.
     """
+    manual = _data_manual(mesh)
 
     def loss_fn(params, batch, rng):
         return adt.forward_loss(
@@ -59,9 +102,20 @@ def make_train_step(config: ModelConfig, tx: optax.GradientTransformation):
             train=True,
         )
 
+    def grads_fn(params, batch, rng, _statics_unused):
+        if manual:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        if manual:
+            loss = jax.lax.pmean(loss, "data")
+            grads = jax.lax.pmean(grads, "data")
+        return loss, grads
+
+    wrapped = _shard_map_grads(grads_fn, mesh) if manual else grads_fn
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Params, rng: jax.Array):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        loss, grads = wrapped(state.params, batch, rng, 0)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -78,6 +132,7 @@ def make_synth_train_step(
     synth_config,
     statics,
     tx: optax.GradientTransformation,
+    mesh=None,
 ):
     """Training step with on-device synthesis fused in: one XLA program does
     one-shot gathers + scatter-add rendering + FX + mel + transformer fwd/bwd +
@@ -86,12 +141,16 @@ def make_synth_train_step(
     on the host.
 
     `batch`: {"notes": (B, MAX_NOTES, 4), "note_mask": (B, MAX_NOTES),
-    "tokens": (B, T), "token_lengths": (B,)}.
+    "tokens": (B, T), "token_lengths": (B,)}. With a mesh, the synthesis +
+    model fwd/bwd run per-shard inside a data-manual shard_map (see module
+    docstring: GSPMD cannot partition the render/mel custom calls) with a
+    pmean gradient reduction; the synth rng is folded per shard.
     """
     from adt_str_tpu.synth.render import check_bins_loaded, render_batch
 
     # eager: inside the jitted step loaded_bins is a tracer and cannot raise
     check_bins_loaded(statics, synth_config.similarity_threshold)
+    manual = _data_manual(mesh)
 
     def loss_fn(params, batch, wavs, rng):
         return adt.forward_loss(
@@ -104,6 +163,22 @@ def make_synth_train_step(
             train=True,
         )
 
+    def grads_fn(params, batch, rng, statics):
+        if manual:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        k_synth, k_model = jax.random.split(rng)
+        synth_keys = jax.random.split(k_synth, batch["notes"].shape[0])
+        wavs = render_batch(
+            statics, batch["notes"], batch["note_mask"], synth_keys, synth_config
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, wavs, k_model)
+        if manual:
+            loss = jax.lax.pmean(loss, "data")
+            grads = jax.lax.pmean(grads, "data")
+        return loss, grads
+
+    wrapped = _shard_map_grads(grads_fn, mesh) if manual else grads_fn
+
     # `statics` must be a jit *argument*, not a closure: closed-over arrays are
     # embedded in the lowered module as literal constants, and a production
     # one-shot bank is GBs — the serialized HLO then breaks compilation
@@ -111,12 +186,7 @@ def make_synth_train_step(
     # argument it is passed by reference to the device-resident buffers.
     @partial(jax.jit, donate_argnums=(0,))
     def _step(state: TrainState, batch: Params, rng: jax.Array, statics):
-        k_synth, k_model = jax.random.split(rng)
-        synth_keys = jax.random.split(k_synth, batch["notes"].shape[0])
-        wavs = render_batch(
-            statics, batch["notes"], batch["note_mask"], synth_keys, synth_config
-        )
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, wavs, k_model)
+        loss, grads = wrapped(state.params, batch, rng, statics)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -128,7 +198,7 @@ def make_synth_train_step(
     return step
 
 
-def make_synth_eval_step(config: ModelConfig, synth_config, statics):
+def make_synth_eval_step(config: ModelConfig, synth_config, statics, mesh=None):
     """Teacher-forced eval loss for note-list (Lakh) datasets: the validation
     audio is rendered on device exactly like the training path, but under a
     caller-fixed rng so the eval stream is identical across eval calls and
@@ -138,15 +208,16 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics):
     from adt_str_tpu.synth.render import check_bins_loaded, render_batch
 
     check_bins_loaded(statics, synth_config.similarity_threshold)
+    manual = _data_manual(mesh)
 
-    # statics as a jit argument, not a closure — see make_synth_train_step
-    @jax.jit
-    def _step(params: Params, batch: Params, rng: jax.Array, statics):
+    def loss_fn(params, batch, rng, statics):
+        if manual:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         keys = jax.random.split(rng, batch["notes"].shape[0])
         wavs = render_batch(
             statics, batch["notes"], batch["note_mask"], keys, synth_config
         )
-        return adt.forward_loss(
+        loss = adt.forward_loss(
             params,
             wavs,
             batch["tokens"],
@@ -155,6 +226,14 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics):
             rng=None,
             train=False,
         )
+        return (jax.lax.pmean(loss, "data") if manual else loss), jnp.zeros(())
+
+    wrapped = _shard_map_grads(loss_fn, mesh) if manual else loss_fn
+
+    # statics as a jit argument, not a closure — see make_synth_train_step
+    @jax.jit
+    def _step(params: Params, batch: Params, rng: jax.Array, statics):
+        return wrapped(params, batch, rng, statics)[0]
 
     def step(params: Params, batch: Params, rng: jax.Array):
         return _step(params, batch, rng, statics)
@@ -162,13 +241,13 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics):
     return step
 
 
-def make_eval_step(config: ModelConfig):
+def make_eval_step(config: ModelConfig, mesh=None):
     """Jitted teacher-forced eval loss (reference ADTTrainer.evaluate,
     train.py:80-141)."""
+    manual = _data_manual(mesh)
 
-    @jax.jit
-    def step(params: Params, batch: Params):
-        return adt.forward_loss(
+    def loss_fn(params, batch, _rng, _statics):
+        loss = adt.forward_loss(
             params,
             batch["wavs"],
             batch["tokens"],
@@ -177,5 +256,12 @@ def make_eval_step(config: ModelConfig):
             rng=None,
             train=False,
         )
+        return (jax.lax.pmean(loss, "data") if manual else loss), jnp.zeros(())
+
+    wrapped = _shard_map_grads(loss_fn, mesh) if manual else loss_fn
+
+    @jax.jit
+    def step(params: Params, batch: Params):
+        return wrapped(params, batch, jnp.zeros((), jnp.uint32), 0)[0]
 
     return step

@@ -289,7 +289,9 @@ def _cascade_lowpasses(x: jnp.ndarray, d: jnp.ndarray) -> list[jnp.ndarray]:
     return [out[b] for b in range(len(_CASCADE_ORDERS))]
 
 
-_T20_BISECT_ITERS = 50  # resolution 4000/2^50 passes — far below fp32 eps
+_T20_BISECT_ITERS = 30  # resolution 4000/2^30 ~ 4e-6 passes — below fp32 eps
+                        # of any T20 in range; 30 sequential (5,2,256) grid
+                        # evals measure as noise inside the fused step
 
 
 def _band_gains_decay(

@@ -111,9 +111,9 @@ def evaluate_loss(
     synth = synth_config is not None and statics is not None
     if eval_step is None:
         eval_step = (
-            make_synth_eval_step(model_cfg, synth_config, statics)
+            make_synth_eval_step(model_cfg, synth_config, statics, mesh=mesh)
             if synth
-            else make_eval_step(model_cfg)
+            else make_eval_step(model_cfg, mesh=mesh)
         )
     process_count = jax.process_count()
     process_index = jax.process_index()
@@ -254,9 +254,11 @@ def train(cfg: FrameworkConfig) -> TrainState:
         params = mesh_lib.shard_params(mesh, params, fsdp=cfg.mesh.fsdp)
 
     if data_cfg.dataset_name == "Lakh":
-        step_fn = make_synth_train_step(model_cfg, cfg.synthetiser, synth_statics, tx)
+        step_fn = make_synth_train_step(
+            model_cfg, cfg.synthetiser, synth_statics, tx, mesh=mesh
+        )
     else:
-        step_fn = make_train_step(model_cfg, tx)
+        step_fn = make_train_step(model_cfg, tx, mesh=mesh)
     state = init_train_state(params, tx)
 
     # resume
@@ -289,9 +291,11 @@ def train(cfg: FrameworkConfig) -> TrainState:
         from adt_str_tpu.parallel.train_step import make_eval_step, make_synth_eval_step
 
         if data_cfg.dataset_name == "Lakh":
-            eval_step_fn = make_synth_eval_step(model_cfg, cfg.synthetiser, synth_statics)
+            eval_step_fn = make_synth_eval_step(
+                model_cfg, cfg.synthetiser, synth_statics, mesh=mesh
+            )
         else:
-            eval_step_fn = make_eval_step(model_cfg)
+            eval_step_fn = make_eval_step(model_cfg, mesh=mesh)
 
     def _run_eval(step_idx: int) -> None:
         import json

@@ -103,12 +103,13 @@ def main() -> None:
         "tokens": base["tokens"],
         "token_lengths": base["token_lengths"],
     }
+    mesh = None
     if n_dev > 1:
         mesh = mesh_lib.make_mesh(n_data=n_dev, n_model=1)
         params = mesh_lib.shard_params(mesh, params)
         batch = mesh_lib.shard_batch(mesh, batch)
 
-    step = make_synth_train_step(cfg, synth_cfg, statics, tx)
+    step = make_synth_train_step(cfg, synth_cfg, statics, tx, mesh=mesh)
     state = init_train_state(params, tx)
 
     n_steps = WARMUP_STEPS + MEASURE_WINDOWS * MEASURE_STEPS

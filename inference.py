@@ -85,14 +85,23 @@ def transcribe(
             jnp.asarray(chunks), mesh_lib.batch_sharding(mesh)
         )
         params = mesh_lib.shard_params(mesh, params)
-    tokens = decode_lib.greedy_decode(
-        params,
-        wavs_dev,
-        cfg.model,
-        max_length=int(cfg.inference.max_length),
-        start_token=tokenizer.BOS_token,
-        end_token=tokenizer.EOS_token,
-    )
+        # shard_map'd decoder: each device decodes its own chunk rows
+        # (models/decode.py "mesh decode")
+        tokens = decode_lib.greedy_decode_sharded(
+            params, wavs_dev, cfg.model, mesh,
+            max_length=int(cfg.inference.max_length),
+            start_token=tokenizer.BOS_token,
+            end_token=tokenizer.EOS_token,
+        )
+    else:
+        tokens = decode_lib.greedy_decode(
+            params,
+            wavs_dev,
+            cfg.model,
+            max_length=int(cfg.inference.max_length),
+            start_token=tokenizer.BOS_token,
+            end_token=tokenizer.EOS_token,
+        )
     tokens = np.asarray(tokens)[:n_real]
     all_notes = []
     for i, start in enumerate(starts):
