@@ -305,6 +305,31 @@ class InferenceConfig:
 
 
 @dataclass
+class ServingConfig:
+    """Online-serving engine knobs (`serve.py` / `serving/engine.py`).
+
+    Framework addition — the reference has no serving layer (its inference
+    surface is the per-file CLI, `/root/reference/inference.py`). Defaults
+    match the engine's constructor so an absent `serving:` section keeps
+    pre-round-5 behavior; CLI flags on `serve.py` override YAML."""
+
+    buckets: tuple = (1, 2, 4, 8, 16, 32, 64)
+    max_wait_ms: float = 2.0
+    max_length: Optional[int] = None  # None -> inference.max_length
+    # decode strategy: greedy (default, the metric path) or beam — the same
+    # `models.decode.beam_search_decode` the eval harness uses
+    use_beam_search: bool = False
+    beam_size: int = 5
+    length_penalty: float = 1.0
+    host: str = "127.0.0.1"
+    port: int = 8321
+    precompile: bool = True
+
+    def __post_init__(self) -> None:
+        self.buckets = tuple(int(b) for b in self.buckets)
+
+
+@dataclass
 class MeshConfig:
     """TPU parallelism layout (no reference equivalent; reference delegates DP
     to HF accelerate, SURVEY.md §2.4)."""
@@ -342,6 +367,7 @@ class FrameworkConfig:
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
     experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
     inference: InferenceConfig = field(default_factory=InferenceConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     raw: dict = field(default_factory=dict)
 
@@ -398,6 +424,7 @@ class FrameworkConfig:
             checkpoint=_coerce(CheckpointConfig, "checkpoint"),
             experiment=_coerce(ExperimentConfig, "experiment"),
             inference=_coerce(InferenceConfig, "inference"),
+            serving=_coerce(ServingConfig, "serving"),
             mesh=_coerce(MeshConfig, "mesh"),
             raw=cfg,
         )

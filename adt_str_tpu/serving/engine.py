@@ -17,9 +17,11 @@ Design (TPU-first):
   is the pure low-latency policy: never hold a request to grow the batch.
 
 The reference has no equivalent (its inference is a sequential per-chunk CLI
-loop, `/root/reference/inference.py:98-120`); the engine's decode path is the
-same `models.decode.greedy_decode` proven token-identical to the reference
-decode (tests/test_reference_equivalence.py), so serving inherits parity.
+loop, `/root/reference/inference.py:98-120`); the engine's decode paths are
+the same `models.decode.greedy_decode` / `beam_search_decode` proven
+token-identical to the reference decode (tests/test_reference_equivalence.py),
+so serving inherits parity. All knobs load from the config's `serving:`
+section (`config.ServingConfig`) via `ServingEngine.from_config`.
 """
 
 from __future__ import annotations
@@ -86,6 +88,9 @@ class ServingEngine:
         max_wait_ms: float = 2.0,
         max_queue: int = 0,
         mesh=None,
+        use_beam: bool = False,
+        beam_size: int = 5,
+        length_penalty: float = 1.0,
     ) -> None:
         if not buckets or list(buckets) != sorted(set(buckets)):
             raise ValueError(f"buckets must be sorted unique sizes, got {buckets!r}")
@@ -99,6 +104,12 @@ class ServingEngine:
         self.chunk_samples = int(config.shared.chunk_samples)
         self.buckets = tuple(int(b) for b in buckets)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # beam decode reuses the eval harness's `beam_search_decode` (token-
+        # identical per bucket, tests/test_serving.py) — same bucketing, one
+        # executable per bucket, just a wider per-row token budget
+        self.use_beam = bool(use_beam)
+        self.beam_size = int(beam_size)
+        self.length_penalty = float(length_penalty)
         self._mesh = mesh
         if mesh is not None:
             from adt_str_tpu.parallel import mesh as mesh_lib
@@ -126,6 +137,23 @@ class ServingEngine:
         self._thread.start()
 
     # ---------------------------------------------------------------- public
+
+    @classmethod
+    def from_config(cls, params, config: FrameworkConfig, *, mesh=None,
+                    **overrides) -> "ServingEngine":
+        """Build from the config's `serving:` section; kwargs override YAML
+        (serve.py maps its CLI flags here)."""
+        s = config.serving
+        kw = dict(
+            max_length=s.max_length,
+            buckets=s.buckets,
+            max_wait_ms=s.max_wait_ms,
+            use_beam=s.use_beam_search,
+            beam_size=s.beam_size,
+            length_penalty=s.length_penalty,
+        )
+        kw.update({k: v for k, v in overrides.items() if v is not None})
+        return cls(params, config, mesh=mesh, **kw)
 
     def precompile(self) -> float:
         """Compile every bucket's decode executable (blocking); returns the
@@ -195,6 +223,39 @@ class ServingEngine:
 
     # ------------------------------------------------------------- internals
 
+    def _decode_device(self, waves: np.ndarray):
+        """One device decode of a padded (bucket, chunk_samples) batch.
+        Mesh runs go through the shard_map'd decoders: each device decodes
+        its own rows (GSPMD cannot partition the mel custom call — plain
+        jit-with-sharded-args would all-gather the batch first; see
+        models/decode.py "mesh decode")."""
+        dev = jnp.asarray(waves)
+        bos, eos = self.tokenizer.BOS_token, self.tokenizer.EOS_token
+        if self._batch_sharding is not None:
+            dev = jax.device_put(dev, self._batch_sharding)
+            if self.use_beam:
+                return decode_lib.beam_search_decode_sharded(
+                    self._params, dev, self.config.model, self._mesh,
+                    beam_size=self.beam_size, max_length=self.max_length,
+                    start_token=bos, end_token=eos,
+                    length_penalty=self.length_penalty,
+                )
+            return decode_lib.greedy_decode_sharded(
+                self._params, dev, self.config.model, self._mesh,
+                max_length=self.max_length, start_token=bos, end_token=eos,
+            )
+        if self.use_beam:
+            return decode_lib.beam_search_decode(
+                self._params, dev, self.config.model,
+                beam_size=self.beam_size, max_length=self.max_length,
+                start_token=bos, end_token=eos,
+                length_penalty=self.length_penalty,
+            )
+        return decode_lib.greedy_decode(
+            self._params, dev, self.config.model,
+            max_length=self.max_length, start_token=bos, end_token=eos,
+        )
+
     def _collect_batch(self, first) -> tuple[list, bool]:
         """Greedily drain the queue, then wait up to max_wait_s for
         stragglers; stop at the largest bucket. Returns (batch, saw_shutdown)."""
@@ -225,19 +286,7 @@ class ServingEngine:
             waves[i] = wave
         t0 = time.monotonic()
         try:
-            dev = jnp.asarray(waves)
-            if self._batch_sharding is not None:
-                dev = jax.device_put(dev, self._batch_sharding)
-            tokens = np.asarray(
-                decode_lib.greedy_decode(
-                    self._params,
-                    dev,
-                    self.config.model,
-                    max_length=self.max_length,
-                    start_token=self.tokenizer.BOS_token,
-                    end_token=self.tokenizer.EOS_token,
-                )
-            )
+            tokens = np.asarray(self._decode_device(waves))
         except Exception as exc:  # propagate one failure to every waiter
             for _, fut in batch:
                 if fut is not None and not fut.cancelled():

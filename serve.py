@@ -31,23 +31,31 @@ from adt_str_tpu.training.checkpoint import load_params_from_reference_checkpoin
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser(description="ADT transcription server")
+    parser = argparse.ArgumentParser(
+        description="ADT transcription server. Every knob below defaults to "
+        "the config's `serving:` section (config.ServingConfig); flags "
+        "override YAML."
+    )
     parser.add_argument("config_path", type=str)
-    parser.add_argument("--host", type=str, default="127.0.0.1")
-    parser.add_argument("--port", type=int, default=8321)
+    parser.add_argument("--host", type=str, default=None)
+    parser.add_argument("--port", type=int, default=None)
     parser.add_argument(
-        "--buckets", type=int, nargs="+", default=[1, 2, 4, 8, 16, 32, 64],
+        "--buckets", type=int, nargs="+", default=None,
         help="batch buckets (sorted); one decode executable is compiled per "
         "bucket and requests are padded up to the smallest that fits",
     )
     parser.add_argument(
-        "--max-wait-ms", type=float, default=2.0,
+        "--max-wait-ms", type=float, default=None,
         help="after the first queued request, wait at most this long for "
         "stragglers to grow the batch (0 = pure low-latency)",
     )
     parser.add_argument(
         "--max-length", type=int, default=None,
         help="decode token budget (default: config inference.max_length)",
+    )
+    parser.add_argument(
+        "--beam", action="store_true", default=None, dest="use_beam",
+        help="beam-search decoding (serving.beam_size wide) instead of greedy",
     )
     parser.add_argument(
         "--no-precompile", action="store_true",
@@ -75,20 +83,24 @@ def main() -> None:
         mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
         print(f"Serving data-parallel over {len(jax.devices())} devices")
 
-    engine = ServingEngine(
+    engine = ServingEngine.from_config(
         params,
         cfg,
-        max_length=args.max_length,
-        buckets=tuple(args.buckets),
-        max_wait_ms=args.max_wait_ms,
         mesh=mesh,
+        max_length=args.max_length,
+        buckets=tuple(args.buckets) if args.buckets else None,
+        max_wait_ms=args.max_wait_ms,
+        use_beam=args.use_beam,
     )
-    if not args.no_precompile:
-        print(f"Precompiling {len(args.buckets)} bucket executables...")
+    if cfg.serving.precompile and not args.no_precompile:
+        print(f"Precompiling {len(engine.buckets)} bucket executables "
+              f"({'beam' if engine.use_beam else 'greedy'})...")
         dt = engine.precompile()
         print(f"Precompile done in {dt:.1f}s")
 
-    server = make_server(engine, args.host, args.port, quiet=not args.verbose)
+    host = args.host if args.host is not None else cfg.serving.host
+    port = args.port if args.port is not None else cfg.serving.port
+    server = make_server(engine, host, port, quiet=not args.verbose)
 
     def _shutdown(signum, frame):
         print(f"signal {signum}: draining and shutting down", file=sys.stderr)

@@ -149,6 +149,50 @@ def test_engine_mesh_matches_single_device(served):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_engine_beam_tokens_match_direct_decode(served):
+    """Beam engine option (VERDICT r4 #7): 3 chunks through a beam engine
+    (bucket-padded to 4) must equal a direct `beam_search_decode` of the
+    bare 3-row batch — serving beam is the eval harness's beam, just
+    micro-batched."""
+    params, cfg = served
+    tok = MidiTokenizer(cfg.tokenizer)
+    waves = _chunks(cfg, 3, seed=7)
+    direct = np.asarray(
+        decode_lib.beam_search_decode(
+            params, jnp.asarray(waves), cfg.model, beam_size=3,
+            max_length=cfg.inference.max_length,
+            start_token=tok.BOS_token, end_token=tok.EOS_token,
+        )
+    )
+    with ServingEngine(
+        params, cfg, buckets=(1, 2, 4, 8), use_beam=True, beam_size=3
+    ) as eng:
+        futs = [eng.submit_chunk(w) for w in waves]
+        got = np.stack([f.result(timeout=120) for f in futs])
+    np.testing.assert_array_equal(got, direct)
+
+
+def test_engine_from_config_serving_section(served):
+    """`serving:` YAML section drives the engine (VERDICT r4 #7): buckets,
+    wait, beam knobs all land; explicit overrides (serve.py CLI flags) win."""
+    params, cfg = served
+    raw = dict(cfg.raw)
+    raw["serving"] = {
+        "buckets": [2, 4], "max_wait_ms": 0.0, "use_beam_search": True,
+        "beam_size": 2, "length_penalty": 0.7, "port": 9999,
+    }
+    cfg2 = FrameworkConfig.from_dict(raw)
+    assert cfg2.serving.port == 9999 and cfg2.serving.precompile
+    with ServingEngine.from_config(params, cfg2) as eng:
+        assert eng.buckets == (2, 4)
+        assert eng.max_wait_s == 0.0
+        assert eng.use_beam and eng.beam_size == 2
+        assert eng.length_penalty == 0.7
+    with ServingEngine.from_config(params, cfg2, use_beam=False,
+                                   buckets=(1, 2)) as eng:
+        assert not eng.use_beam and eng.buckets == (1, 2)
+
+
 def test_engine_mesh_rejects_indivisible_buckets(served):
     from adt_str_tpu.parallel import mesh as mesh_lib
 
