@@ -46,8 +46,60 @@ def load_clap_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
     raise FileNotFoundError(f"no model.safetensors / pytorch_model.bin in {model_dir}")
 
 
+def archs_from_hf_config(model_dir: str | Path) -> tuple[ClapAudioArch, ClapTextArch]:
+    """Derive the tower architectures from the checkpoint directory's HF
+    `config.json` (a transformers `ClapConfig` dump). Lets the curation CLI
+    load ANY local CLAP checkpoint — full `laion/clap-htsat-fused` or a
+    small distilled one — without hardcoding htsat-fused shapes."""
+    import json
+
+    cfg = json.loads((Path(model_dir) / "config.json").read_text())
+    a, t = cfg["audio_config"], cfg["text_config"]
+    stride = a.get("patch_stride", [4, 4])
+    audio = ClapAudioArch(
+        window_size=a.get("window_size", 8),
+        num_mel_bins=a.get("num_mel_bins", 64),
+        spec_size=a.get("spec_size", 256),
+        patch_size=a.get("patch_size", 4),
+        patch_stride=stride[0] if isinstance(stride, (list, tuple)) else stride,
+        hidden_size=a.get("hidden_size", 768),
+        projection_dim=cfg.get("projection_dim", a.get("projection_dim", 512)),
+        depths=tuple(a.get("depths", (2, 2, 6, 2))),
+        num_heads=tuple(a.get("num_attention_heads", (4, 8, 16, 32))),
+        patch_embeds_hidden_size=a.get("patch_embeds_hidden_size", 96),
+        enable_fusion=a.get("enable_fusion", True),
+        mlp_ratio=a.get("mlp_ratio", 4.0),
+        aff_block_r=a.get("aff_block_r", 4),
+        layer_norm_eps=a.get("layer_norm_eps", 1e-5),
+    )
+    text = ClapTextArch(
+        vocab_size=t.get("vocab_size", 50265),
+        hidden_size=t.get("hidden_size", 768),
+        num_layers=t.get("num_hidden_layers", 12),
+        num_heads=t.get("num_attention_heads", 12),
+        intermediate_size=t.get("intermediate_size", 3072),
+        max_positions=t.get("max_position_embeddings", 514),
+        pad_token_id=t.get("pad_token_id", 1),
+        layer_norm_eps=t.get("layer_norm_eps", 1e-12),
+        projection_dim=cfg.get("projection_dim", t.get("projection_dim", 512)),
+    )
+    return audio, text
+
+
 class ClapWrapper:
     """JAX CLAP encoder (reference `modules/clap_encoder.py` equivalent)."""
+
+    @classmethod
+    def from_dir(cls, model_dir: str | Path, sample_rate: int = 48_000,
+                 **kwargs) -> "ClapWrapper":
+        """Load from a local HF checkpoint directory, deriving tower archs
+        from its `config.json` when present (falls back to htsat-fused
+        defaults otherwise). The curation CLI's entry point."""
+        if (Path(model_dir) / "config.json").exists():
+            audio_arch, text_arch = archs_from_hf_config(model_dir)
+            kwargs.setdefault("audio_arch", audio_arch)
+            kwargs.setdefault("text_arch", text_arch)
+        return cls(str(model_dir), sample_rate=sample_rate, **kwargs)
 
     def __init__(
         self,

@@ -50,7 +50,9 @@ def main() -> None:
     from adt_str_tpu.clap.curation import curate_library
     from adt_str_tpu.clap.model import ClapWrapper
 
-    wrapper = ClapWrapper(clap_cfg.model_name, sample_rate=clap_cfg.sample_rate)
+    # from_dir derives tower archs from the checkpoint's config.json, so any
+    # local CLAP checkpoint works (full htsat-fused or a small local one)
+    wrapper = ClapWrapper.from_dir(clap_cfg.model_name, sample_rate=clap_cfg.sample_rate)
     mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
     curate_library(
         wrapper,
