@@ -24,6 +24,14 @@ key would render correlated timbres). The augmentation STREAM therefore
 differs between mesh layouts — same family, different draws — exactly like
 the reference's ambient per-worker randomness (SURVEY.md §7).
 
+Loss weighting under shard_map is the reference's own accelerate/DDP
+semantics: each shard's token-masked mean weighs EQUALLY in the pmean
+(torch DDP averages per-rank means in the grad all-reduce the same way),
+which differs from a single program's global token-weighted mean when
+token lengths are ragged across shards. Pinned by
+`test_shard_map_step_matches_single_device` (exact match at uniform
+lengths; mean-of-shard-means at ragged lengths).
+
 Notable deviations from the reference, by design:
 - no per-step `gc.collect()`/`empty_cache()` (reference anti-pattern,
   train.py:74-76);

@@ -112,6 +112,98 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_shard_map_step_matches_single_device():
+    """Round-5 data-manual shard_map path (`make_train_step(mesh=...)`):
+    with dropout off and UNIFORM token lengths, the per-shard masked means
+    pmean to exactly the global mean, so loss/grad_norm must match the
+    single-device step to fp32 reduction noise. (With RAGGED lengths the
+    shard_map path intentionally computes the mean-of-shard-means — the
+    reference's own accelerate/DDP multi-GPU semantics, where each rank's
+    token-masked mean weighs equally in the grad all-reduce — which differs
+    from the single-program global token-weighted mean; pinned below.)
+    This is the direct equivalence check for the shard_map program itself —
+    the older sharded test exercises the plain-GSPMD (mesh=None,
+    sharded-args) path."""
+    cfg = tiny_config()  # dropout=0.0: the rng fold-in must then be inert
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    tx, _ = make_optimizer(tcfg, total_steps=10, params=params)
+    batch = make_batch(cfg, B=8)
+    # uniform lengths: every row gets the same token count (pad stays pad)
+    tokens = np.array(batch["tokens"])  # writable copy
+    T = tokens.shape[1]
+    for i in range(tokens.shape[0]):
+        row = tokens[i]
+        n = int((row != 1).sum())
+        row[row == 3] = 5  # old EOS position becomes a real token
+        row[n:] = 5
+        row[T - 1] = 3
+        tokens[i] = row
+    batch["tokens"] = jnp.asarray(tokens)
+    lengths = np.full((tokens.shape[0],), T, np.int32)
+    batch["token_lengths"] = jnp.asarray(
+        adt.collate_token_lengths(jnp.asarray(lengths))
+    )
+
+    step1 = make_train_step(cfg, tx)
+    state1, m1 = step1(init_train_state(params, tx), batch, jax.random.PRNGKey(7))
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    sharded_params = mesh_lib.shard_params(
+        mesh, adt.init_params(jax.random.PRNGKey(0), cfg)
+    )
+    sharded_batch = mesh_lib.shard_batch(mesh, batch)
+    step2 = make_train_step(cfg, tx, mesh=mesh)
+    state2, m2 = step2(
+        init_train_state(sharded_params, tx), sharded_batch, jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+    )
+    # updated params agree leaf-for-leaf (same optimizer math on pmean'd
+    # grads); Adam's sqrt amplifies fp noise, hence the loose atol
+    for a, b in zip(
+        jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        )
+
+    # and with a TP axis the shard_map (manual data, auto model) still
+    # composes: loss matches the pure-DP run
+    mesh42 = mesh_lib.make_mesh(n_data=4, n_model=2)
+    p42 = mesh_lib.shard_params(mesh42, adt.init_params(jax.random.PRNGKey(0), cfg))
+    b42 = mesh_lib.shard_batch(mesh42, batch)
+    step3 = make_train_step(cfg, tx, mesh=mesh42)
+    _, m3 = step3(init_train_state(p42, tx), b42, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
+
+    # ragged lengths: the shard_map loss is the mean of per-shard masked
+    # means (accelerate/DDP semantics — the reference's own multi-GPU
+    # weighting), NOT the global token-weighted mean. With one example per
+    # shard that is exactly the mean of per-example losses.
+    ragged = make_batch(cfg, B=8, seed=1)
+    params_fresh = adt.init_params(jax.random.PRNGKey(0), cfg)  # step1 donated
+    per_example = np.mean([
+        float(adt.forward_loss(
+            params_fresh,
+            ragged["wavs"][i:i + 1],
+            ragged["tokens"][i:i + 1],
+            ragged["token_lengths"][i:i + 1],
+            cfg, rng=None, train=False,
+        ))
+        for i in range(8)
+    ])
+    mesh81 = mesh_lib.make_mesh(n_data=8, n_model=1)
+    p81 = mesh_lib.shard_params(mesh81, adt.init_params(jax.random.PRNGKey(0), cfg))
+    b81 = mesh_lib.shard_batch(mesh81, ragged)
+    step4 = make_train_step(cfg, tx, mesh=mesh81)
+    _, m4 = step4(init_train_state(p81, tx), b81, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m4["loss"]), per_example, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_fsdp_step_matches_single_device():
     """MeshConfig.fsdp shards every large param's free dim over the data axis
     (ZeRO-3): grads/losses must match the replicated layout, params and Adam
