@@ -265,6 +265,19 @@ class TrainingConfig:
     eval_strategy: str = "no"
     max_dataloader_num_workers: int = 0
     max_steps: Optional[int] = None  # explicit cap (TPU addition)
+    # Gradient all-reduce transport dtype over the data mesh axis (TPU
+    # addition): None/'f32' = exact fp32 pmean (default), 'bf16' = cast for
+    # transport only — halves the DP program's one collective; params and
+    # the AdamW update stay fp32 (parallel/train_step._pmean_grads).
+    grad_allreduce_dtype: Optional[str] = None
+    # Production-training guard (TPU addition): N > 0 wraps the optimizer in
+    # optax.apply_if_finite(N) — a step whose updates contain NaN/Inf is
+    # skipped (params and Adam state untouched) instead of poisoning the
+    # run; after N CONSECUTIVE non-finite steps the updates pass through
+    # again so the failure is visible rather than silently looping. 0 (the
+    # default) keeps reference behavior: the only NaN defense is the
+    # logits nan_to_num the reference also applies (model.py:233).
+    skip_nonfinite_updates: int = 0
 
 
 @dataclass

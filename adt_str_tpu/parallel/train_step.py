@@ -7,8 +7,9 @@ backward -> global-norm clip -> AdamW update.
 Data-parallel structure (round 5): with a mesh, the per-device computation
 (synthesis render + FX + mel + transformer fwd/bwd) runs inside
 `jax.shard_map` MANUAL over the `data` axis, with an explicit gradient/loss
-`pmean` over ICI; the `model` axis (TP) stays AUTO, so GSPMD continues to
-partition the model-parallel matmuls inside each shard. Rationale: the input
+`pmean` over ICI; with a real TP axis (model > 1) the `model` axis stays
+AUTO, so GSPMD continues to partition the model-parallel matmuls inside
+each shard (pure-DP meshes are fully manual — see `_shard_map_grads`). Rationale: the input
 path is built from custom calls (Pallas render/placement/mel kernels on TPU;
 ducc-FFT on CPU) that GSPMD cannot partition — under plain jit-with-sharded-
 args it REPLICATES them, all-gathering the full batch first (measured on the
@@ -60,19 +61,58 @@ def _data_manual(mesh) -> bool:
     return mesh is not None and dict(mesh.shape).get("data", 1) > 1
 
 
+def _normalize_comm_dtype(comm_dtype):
+    """Resolve the `training.grad_allreduce_dtype` knob: None/f32 -> exact
+    fp32 pmean (default), bf16 -> cast-for-transport (see _pmean_grads)."""
+    if comm_dtype in (None, "f32", "fp32", "float32"):
+        return None
+    if comm_dtype in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(
+        f"unsupported grad_allreduce_dtype: {comm_dtype!r} (use 'bf16' or 'f32')"
+    )
+
+
+def _pmean_grads(grads, comm_dtype):
+    """Gradient pmean over the data axis, optionally casting to `comm_dtype`
+    for transport. With bf16 the flagship DP program's ONLY collective (the
+    483 MB fp32 grad all-reduce, docs/BENCHMARKS.md "v5e-8 projection")
+    halves to 242 MB; params, optimizer state, and the update math stay
+    fp32 — only the cross-device reduction rounds each grad element to bf16
+    (~0.4% relative, and the grads already carry bf16 noise from the bf16
+    forward/backward). Default (None) keeps the exact-fp32 reduction that
+    the single-device-equivalence tests pin."""
+    if comm_dtype is None:
+        return jax.lax.pmean(grads, "data")
+    return jax.tree.map(
+        lambda g: jax.lax.pmean(g.astype(comm_dtype), "data").astype(g.dtype),
+        grads,
+    )
+
+
 def _shard_map_grads(grads_fn, mesh):
     """Wrap `grads_fn(params, batch, rng, statics) -> (loss, grads)` in a
     data-manual shard_map: batch sharded over `data`, everything else
-    replicated w.r.t. `data` (the `model` axis stays AUTO for TP). The inner
-    fn is responsible for the pmean and the per-shard rng fold-in."""
-    axis_names = frozenset({"data"})
+    replicated w.r.t. `data`. With a real TP axis (model > 1) the `model`
+    axis stays AUTO so GSPMD partitions the model-parallel matmuls inside
+    each shard; with a trivial model axis the map is fully manual — there
+    is nothing left to auto-partition, and the partially-manual form makes
+    Shardy annotate the psum reduction regions with sharding custom-calls
+    that XLA:CPU's bf16 all-reduce promotion then crashes on (root becomes
+    a `copy`, promotion calls CreateBinary(copy): 'Invalid binary
+    instruction opcode copy'). Fully-manual DP avoids the annotations
+    entirely. The inner fn is responsible for the pmean and the per-shard
+    rng fold-in."""
+    kwargs = {}
+    if dict(mesh.shape).get("model", 1) > 1:
+        kwargs["axis_names"] = frozenset({"data"})
     return jax.shard_map(
         grads_fn,
         mesh=mesh,
         in_specs=(P(), P("data"), P(), P()),
         out_specs=(P(), P()),
-        axis_names=axis_names,
         check_vma=False,
+        **kwargs,
     )
 
 
@@ -87,7 +127,8 @@ def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainS
 
 
 def make_train_step(
-    config: ModelConfig, tx: optax.GradientTransformation, mesh=None
+    config: ModelConfig, tx: optax.GradientTransformation, mesh=None,
+    comm_dtype=None,
 ):
     """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
 
@@ -95,9 +136,11 @@ def make_train_step(
     "token_lengths": (B,) i32}. Token lengths follow the reference collate
     convention (apply `adt.collate_token_lengths` host- or device-side first).
     With a mesh, grads are computed inside a data-manual shard_map (see
-    module docstring) and pmean'd over ICI.
+    module docstring) and pmean'd over ICI; `comm_dtype='bf16'` casts the
+    gradient all-reduce to bf16 transport (see _pmean_grads).
     """
     manual = _data_manual(mesh)
+    comm_dtype = _normalize_comm_dtype(comm_dtype)
 
     def loss_fn(params, batch, rng):
         return adt.forward_loss(
@@ -116,7 +159,7 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         if manual:
             loss = jax.lax.pmean(loss, "data")
-            grads = jax.lax.pmean(grads, "data")
+            grads = _pmean_grads(grads, comm_dtype)
         return loss, grads
 
     wrapped = _shard_map_grads(grads_fn, mesh) if manual else grads_fn
@@ -141,6 +184,7 @@ def make_synth_train_step(
     statics,
     tx: optax.GradientTransformation,
     mesh=None,
+    comm_dtype=None,
 ):
     """Training step with on-device synthesis fused in: one XLA program does
     one-shot gathers + scatter-add rendering + FX + mel + transformer fwd/bwd +
@@ -159,6 +203,7 @@ def make_synth_train_step(
     # eager: inside the jitted step loaded_bins is a tracer and cannot raise
     check_bins_loaded(statics, synth_config.similarity_threshold)
     manual = _data_manual(mesh)
+    comm_dtype = _normalize_comm_dtype(comm_dtype)
 
     def loss_fn(params, batch, wavs, rng):
         return adt.forward_loss(
@@ -182,7 +227,7 @@ def make_synth_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, wavs, k_model)
         if manual:
             loss = jax.lax.pmean(loss, "data")
-            grads = jax.lax.pmean(grads, "data")
+            grads = _pmean_grads(grads, comm_dtype)
         return loss, grads
 
     wrapped = _shard_map_grads(grads_fn, mesh) if manual else grads_fn

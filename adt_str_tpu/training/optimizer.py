@@ -136,5 +136,15 @@ def make_optimizer(
     )
     if accum > 1:
         tx = optax.MultiSteps(tx, accum)
-        return tx, lambda step: schedule(jnp.asarray(step) // accum)
-    return tx, schedule
+        sched = lambda step: schedule(jnp.asarray(step) // accum)  # noqa: E731
+    else:
+        sched = schedule
+    if int(config.skip_nonfinite_updates) > 0:
+        # outermost, so mid-accumulation micro-updates (zeros) stay finite
+        # and only real window updates are judged; a skipped step leaves
+        # params AND inner optimizer state untouched
+        # (tests/test_train_step.py::test_skip_nonfinite_updates)
+        tx = optax.apply_if_finite(
+            tx, max_consecutive_errors=int(config.skip_nonfinite_updates)
+        )
+    return tx, sched

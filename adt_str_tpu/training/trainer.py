@@ -255,10 +255,14 @@ def train(cfg: FrameworkConfig) -> TrainState:
 
     if data_cfg.dataset_name == "Lakh":
         step_fn = make_synth_train_step(
-            model_cfg, cfg.synthetiser, synth_statics, tx, mesh=mesh
+            model_cfg, cfg.synthetiser, synth_statics, tx, mesh=mesh,
+            comm_dtype=cfg.training.grad_allreduce_dtype,
         )
     else:
-        step_fn = make_train_step(model_cfg, tx, mesh=mesh)
+        step_fn = make_train_step(
+            model_cfg, tx, mesh=mesh,
+            comm_dtype=cfg.training.grad_allreduce_dtype,
+        )
     state = init_train_state(params, tx)
 
     # resume

@@ -41,7 +41,7 @@ def test_dryrun_multichip_self_provisions_virtual_mesh(n):
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
     )
     assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
     assert "synth-fused train step OK" in proc.stdout, proc.stdout
@@ -59,10 +59,37 @@ def test_dryrun_multichip_self_provisions_virtual_mesh(n):
     assert len(perf_lines) == 1, proc.stdout
     perf = json.loads(perf_lines[0].removeprefix("MULTICHIP_PERF "))
     assert perf["n_devices"] == n
-    assert len(perf["layouts"]) == 2
-    for layout in perf["layouts"]:
+    executed = [l for l in perf["layouts"] if not l.get("compile_only")]
+    flagship = [l for l in perf["layouts"] if l.get("compile_only")]
+    assert len(executed) == 2
+    for layout in executed:
         assert layout["per_step_ms"] > 0
         assert layout["collectives"], layout  # sharded -> collectives exist
+    # FLAGSHIP-shape compile-only records: f32 always; bf16 gradient
+    # transport at the production slice size (n=8). f32: compiled-HLO and
+    # traced-StableHLO byte extractions must agree (cross-validates both
+    # parsers); bf16: the traced module must carry bf16 collective bytes at
+    # ~half the f32 total (the CPU backend's compiled HLO can't evidence
+    # this — AllReducePromotion rewrites bf16 all-reduces to f32; a TPU
+    # backend keeps them).
+    expected = ["f32", "bf16"] if n == 8 else ["f32"]
+    assert [f["comm_dtype"] for f in flagship] == expected
+    f32r = flagship[0]
+    assert f32r["collectives"], f32r
+    assert (
+        f32r["ici_bytes_per_device_per_step"]
+        == f32r["ici_bytes_per_device_per_step_stablehlo"]
+    )
+    if n == 8:
+        bf16r = flagship[1]
+        shlo = bf16r["stablehlo_collective_bytes"]
+        bf16_bytes = sum(r["by_dtype"].get("bf16", 0) for r in shlo.values())
+        assert bf16_bytes > 0, shlo
+        ratio = (
+            bf16r["ici_bytes_per_device_per_step_stablehlo"]
+            / f32r["ici_bytes_per_device_per_step"]
+        )
+        assert 0.49 < ratio < 0.52, ratio
 
 
 def test_hlo_collective_counts_handles_async_tuple_types():

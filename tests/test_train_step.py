@@ -204,6 +204,77 @@ def test_shard_map_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_bf16_grad_allreduce():
+    """`training.grad_allreduce_dtype: bf16` casts the DP gradient pmean to
+    bf16 TRANSPORT only (params/optimizer stay fp32): the compiled program's
+    all-reduce must actually operate on bf16 (half the collective bytes —
+    the lever behind the improved v5e-8 projection, docs/BENCHMARKS.md), and
+    the training trajectory must track the exact-fp32 default closely (the
+    only error source is the ~0.4%-relative bf16 rounding of grad elements
+    that already carry bf16 forward/backward noise)."""
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    tx, _ = make_optimizer(tcfg, total_steps=20, params=params)
+    batch = make_batch(cfg, B=8)
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    sharded_batch = mesh_lib.shard_batch(mesh, batch)
+
+    def run(comm_dtype, n_steps=8):
+        p = mesh_lib.shard_params(mesh, adt.init_params(jax.random.PRNGKey(0), cfg))
+        step = make_train_step(cfg, tx, mesh=mesh, comm_dtype=comm_dtype)
+        state = init_train_state(p, tx)
+        losses = []
+        for i in range(n_steps):
+            state, m = step(state, sharded_batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        return losses, state
+
+    # The TRACED program's gradient all-reduces really are bf16 (the
+    # compiled CPU HLO cannot evidence this: XLA:CPU's AllReducePromotion
+    # rewrites bf16 all-reduces to f32 — the same pass that crashes outright
+    # on partially-manual shard_map regions, see _shard_map_grads — while a
+    # TPU backend keeps bf16 on the wire). Loss-scalar reductions stay f32
+    # either way; only non-scalar (gradient) all-reduces are classified.
+    import re
+
+    def grad_allreduce_dtypes(comm_dtype):
+        p = mesh_lib.shard_params(mesh, adt.init_params(jax.random.PRNGKey(0), cfg))
+        step = make_train_step(cfg, tx, mesh=mesh, comm_dtype=comm_dtype)
+        txt = (
+            jax.jit(step)
+            .lower(init_train_state(p, tx), sharded_batch, jax.random.PRNGKey(0))
+            .as_text()
+        )
+        dts = set()
+        for m in re.finditer(r'"stablehlo\.all_reduce"', txt):
+            seg = txt[m.end(): m.end() + 40000]
+            r = re.search(r"->\s*(\([^)]*\)|tensor<[^>]*>)", seg)
+            assert r is not None
+            for t in re.findall(r"tensor<([^>]*)>", r.group(1)):
+                parts = t.split("x")
+                if len(parts) > 1:  # non-scalar: a gradient leaf
+                    dts.add(parts[-1])
+        return dts
+
+    assert grad_allreduce_dtypes("bf16") == {"bf16"}
+    assert grad_allreduce_dtypes(None) == {"f32"}
+
+    losses_f32, s_f32 = run(None)
+    losses_bf16, s_bf16 = run("bf16")
+    # trajectories track closely; identical would mean the cast was a no-op
+    np.testing.assert_allclose(losses_bf16, losses_f32, rtol=5e-3)
+    assert losses_bf16[-1] < losses_bf16[0], losses_bf16
+    for a, b in zip(jax.tree.leaves(s_f32.params), jax.tree.leaves(s_bf16.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=0)
+
+    # unknown dtype is rejected eagerly
+    with pytest.raises(ValueError, match="grad_allreduce_dtype"):
+        make_train_step(cfg, tx, mesh=mesh, comm_dtype="fp8")
+
+
+@pytest.mark.slow
 def test_fsdp_step_matches_single_device():
     """MeshConfig.fsdp shards every large param's free dim over the data axis
     (ZeRO-3): grads/losses must match the replicated layout, params and Adam
@@ -561,6 +632,69 @@ def test_gradient_accumulation_schedule_in_update_space():
         sb, _ = step_b(sb, full, rng)
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=0)
+
+
+def test_skip_nonfinite_updates():
+    """`training.skip_nonfinite_updates: N` (TPU addition): a step whose
+    gradients are NaN/Inf must be a no-op on params AND Adam state (the
+    reference has no such guard — one NaN batch poisons its run), recover
+    on the next finite step, and pass the poison through once N
+    consecutive bad steps exhaust the budget (visible failure, not a
+    silent infinite skip-loop)."""
+    import optax
+
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainingConfig(
+        learning_rate=1e-3, warmup_ratio=0.0, skip_nonfinite_updates=2
+    )
+    tx, _ = make_optimizer(tcfg, total_steps=10, params=params)
+
+    # the full train step still runs and trains under the wrapper (note: a
+    # NaN in the INPUT audio cannot reach the grads at all — the
+    # reference-parity nan_to_num on logits, model.py:233, zeroes its
+    # gradient — so grad poison is injected at the optimizer boundary)
+    step = make_train_step(cfg, tx)
+    batch = make_batch(cfg)
+    state = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    state, m0 = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m0["loss"]))
+    p1 = jax.tree.map(jnp.copy, state.params)
+    opt1 = jax.tree.map(
+        lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, state.opt_state
+    )
+
+    nan_grads = jax.tree.map(lambda g: jnp.full_like(g, jnp.nan), p1)
+    fine_grads = jax.tree.map(lambda g: jnp.ones_like(g) * 1e-3, p1)
+
+    # poisoned step: updates must be exact zeros, inner Adam state untouched
+    updates, opt2 = tx.update(nan_grads, opt1, p1)
+    for u in jax.tree.leaves(updates):
+        np.testing.assert_array_equal(np.asarray(u), 0.0)
+    assert int(opt2.notfinite_count) == 1
+    for a, b in zip(jax.tree.leaves(opt1.inner_state), jax.tree.leaves(opt2.inner_state)):
+        if hasattr(a, "dtype"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # recovery: a finite step applies normally and resets the counter
+    updates, opt3 = tx.update(fine_grads, opt2, p1)
+    assert int(opt3.notfinite_count) == 0
+    assert any(float(jnp.abs(u).max()) > 0 for u in jax.tree.leaves(updates))
+
+    # budget exhaustion: after N consecutive bad steps the poison passes
+    # through (apply_if_finite semantics) so the failure is visible
+    o = opt3
+    last = None
+    for _ in range(3):
+        last, o = tx.update(nan_grads, o, p1)
+    assert not np.isfinite(np.asarray(jax.tree.leaves(last)[0])).all()
+
+    # default 0 keeps reference behavior: no ApplyIfFiniteState in the tree
+    tx_off, _ = make_optimizer(
+        TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0),
+        total_steps=10, params=params,
+    )
+    assert not isinstance(tx_off.init(params), optax.ApplyIfFiniteState)
 
 
 def test_unsupported_optim_rejected():

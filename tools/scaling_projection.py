@@ -58,7 +58,7 @@ REF_STEPS_PER_SEC = 3.256  # measured reference upper bound (bench.py)
 N_DEVICES = 8
 
 
-def _flagship_collectives(per_device_batch: int) -> dict:
+def _flagship_collectives(per_device_batch: int, comm_dtype: str | None = None) -> dict:
     """Compile the flagship sharded step on a virtual 8-device CPU mesh in a
     subprocess (the axon PJRT plugin owns this interpreter's backend) and
     return the collective-bytes record."""
@@ -74,7 +74,8 @@ def _flagship_collectives(per_device_batch: int) -> dict:
     code = (
         "import jax, json; jax.config.update('jax_platforms', 'cpu'); "
         "import __graft_entry__ as g; "
-        f"r = g.flagship_sharded_compile({N_DEVICES}, 1, per_device_batch={per_device_batch}); "
+        f"r = g.flagship_sharded_compile({N_DEVICES}, 1, "
+        f"per_device_batch={per_device_batch}, comm_dtype={comm_dtype!r}); "
         "print('RESULT ' + json.dumps(r))"
     )
     proc = subprocess.run(
@@ -203,27 +204,54 @@ def main() -> None:
         "single_chip_ms_bs8": round(ms8, 2),
     }
 
-    # flagship-shape communication structure (virtual mesh, compiled HLO)
+    # flagship-shape communication structure (virtual mesh, compiled HLO).
+    # Two comm dtypes per framing: f32 (the exact-pmean default the
+    # equivalence tests pin) and bf16 transport
+    # (`training.grad_allreduce_dtype: bf16` — halves the one collective;
+    # see parallel/train_step._pmean_grads).
     framings = {}
     for name, pdb, ms in (
         ("same_global_batch_64", 8, ms8),
         ("weak_scaling_bs64_per_chip", 64, ms64),
     ):
-        rec = _flagship_collectives(pdb)
-        ici = rec["ici_bytes_per_device_per_step"]
-        comm_ms = ici / V5E_ICI_BYTES_PER_S * 1e3
-        step_ms = ms + comm_ms
-        steps_per_sec = 1e3 / step_ms
+        def project(comm_dtype):
+            rec = _flagship_collectives(pdb, comm_dtype)
+            if comm_dtype == "bf16":
+                # the virtual-CPU backend promotes bf16 all-reduces back to
+                # f32 in its compiled HLO (XLA AllReducePromotion), so byte
+                # accounting for bf16 transport must read the TRACED module
+                # — the program a TPU backend receives and keeps bf16
+                ici = rec["ici_bytes_per_device_per_step_stablehlo"]
+                shlo = rec["stablehlo_collective_bytes"]
+                bf16_bytes = sum(
+                    r["by_dtype"].get("bf16", 0) for r in shlo.values()
+                )
+                assert bf16_bytes > 0, (
+                    "bf16 transport did not reach the traced program"
+                )
+            else:
+                ici = rec["ici_bytes_per_device_per_step"]
+            comm_ms = ici / V5E_ICI_BYTES_PER_S * 1e3
+            step_ms = ms + comm_ms
+            steps_per_sec = 1e3 / step_ms
+            return {
+                "collectives": rec["collectives"],
+                "ici_bytes_per_device_per_step": ici,
+                "projected_comm_ms": round(comm_ms, 2),
+                "projected_step_ms": round(step_ms, 2),
+                "projected_steps_per_sec": round(steps_per_sec, 2),
+                "projected_samples_per_sec": round(
+                    steps_per_sec * pdb * N_DEVICES, 1
+                ),
+                "dp_efficiency": round(ms / step_ms, 4),
+            }
+
+        f32 = project(None)
         framings[name] = {
             "per_device_batch": pdb,
             "global_batch": pdb * N_DEVICES,
-            "collectives": rec["collectives"],
-            "ici_bytes_per_device_per_step": ici,
-            "projected_comm_ms": round(comm_ms, 2),
-            "projected_step_ms": round(step_ms, 2),
-            "projected_steps_per_sec": round(steps_per_sec, 2),
-            "projected_samples_per_sec": round(steps_per_sec * pdb * N_DEVICES, 1),
-            "dp_efficiency": round(ms / step_ms, 4),
+            **f32,
+            "bf16_grad_allreduce": project("bf16"),
         }
     out["framings"] = framings
 
@@ -234,6 +262,10 @@ def main() -> None:
         "projected_steps_per_sec": g64["projected_steps_per_sec"],
         "reference_steps_per_sec": REF_STEPS_PER_SEC,
         "speedup": round(g64["projected_steps_per_sec"] / REF_STEPS_PER_SEC, 2),
+        "speedup_with_bf16_comm": round(
+            g64["bf16_grad_allreduce"]["projected_steps_per_sec"]
+            / REF_STEPS_PER_SEC, 2,
+        ),
         "note": "the reference bound is HOST-synthesis-bound (16 workers, "
                 "FX stubbed, device step free) and does not scale with "
                 "accelerator count; see bench.py docstring",
