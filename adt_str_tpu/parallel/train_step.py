@@ -173,6 +173,10 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+        if isinstance(opt_state, optax.ApplyIfFiniteState):
+            # training.skip_nonfinite_updates observability: cumulative
+            # count of skipped (NaN/Inf) update steps
+            metrics["notfinite_total"] = opt_state.total_notfinite
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
@@ -243,6 +247,8 @@ def make_synth_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if isinstance(opt_state, optax.ApplyIfFiniteState):
+            metrics["notfinite_total"] = opt_state.total_notfinite
         return TrainState(params, opt_state, state.step + 1), metrics
 
     def step(state: TrainState, batch: Params, rng: jax.Array):

@@ -409,12 +409,20 @@ def train(cfg: FrameworkConfig) -> TrainState:
         sps = (idx - last_logged_idx) / max(now - t_last, 1e-9)
         last_logged_idx, t_last = idx, now
         lr = float(schedule(idx))
+        # training.skip_nonfinite_updates observability: cumulative skipped
+        # (NaN/Inf) update count, present only when the guard is enabled
+        skipped = ""
+        if "notfinite_total" in m:
+            skipped = f" skipped={int(m['notfinite_total'])}"
         logger.info(
-            "step %d/%d loss=%.4f grad_norm=%.3f lr=%.2e steps/s=%.2f",
-            idx, total_steps, loss, float(m["grad_norm"]), lr, sps,
+            "step %d/%d loss=%.4f grad_norm=%.3f lr=%.2e steps/s=%.2f%s",
+            idx, total_steps, loss, float(m["grad_norm"]), lr, sps, skipped,
         )
         if wandb:
-            wandb.log({"loss": loss, "lr": lr, "steps_per_sec": sps}, step=idx)
+            wb = {"loss": loss, "lr": lr, "steps_per_sec": sps}
+            if "notfinite_total" in m:
+                wb["notfinite_total"] = int(m["notfinite_total"])
+            wandb.log(wb, step=idx)
 
     # deterministic resume: the data order and augmentation stream are keyed
     # by (seed, epoch) and the first `skip` batches of the in-progress epoch

@@ -659,6 +659,7 @@ def test_skip_nonfinite_updates():
     state = init_train_state(jax.tree.map(jnp.copy, params), tx)
     state, m0 = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m0["loss"]))
+    assert int(m0["notfinite_total"]) == 0  # guard observability in metrics
     p1 = jax.tree.map(jnp.copy, state.params)
     opt1 = jax.tree.map(
         lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, state.opt_state
