@@ -268,8 +268,14 @@ class TrainingConfig:
     # Gradient all-reduce transport dtype over the data mesh axis (TPU
     # addition): None/'f32' = exact fp32 pmean (default), 'bf16' = cast for
     # transport only — halves the DP program's one collective; params and
-    # the AdamW update stay fp32 (parallel/train_step._pmean_grads).
+    # the AdamW update stay fp32 (parallel/train_step._allreduce_grads).
     grad_allreduce_dtype: Optional[str] = None
+    # Mesh loss weighting (TPU addition): False (default) = exact global
+    # token-weighted mean on any mesh layout (mesh-invariant math, matches
+    # the reference's single-process trainer); True = accelerate/DDP
+    # per-rank weighting (each shard's masked mean weighs equally — the
+    # reference's own multi-GPU behavior; differs only at ragged lengths).
+    ddp_loss_weighting: bool = False
     # Production-training guard (TPU addition): N > 0 wraps the optimizer in
     # optax.apply_if_finite(N) — a step whose updates contain NaN/Inf is
     # skipped (params and Adam state untouched) instead of poisoning the

@@ -186,14 +186,24 @@ def decode_logits(
     return T.linear(dec["generator"], x)
 
 
-def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """fp32 CE, mean over non-PAD labels, nan_to_num'd logits (model.py:228-238)."""
+def cross_entropy_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, reduction: str = "mean"
+):
+    """fp32 CE over non-PAD labels, nan_to_num'd logits (model.py:228-238).
+
+    reduction="mean": the reference's token-masked mean (model.py:228-238).
+    reduction="sum": `(nll_sum, n_valid)` — lets a sharded caller form the
+    EXACT global token-weighted mean by summing both terms across shards
+    (parallel/train_step.py) instead of averaging per-shard means."""
     logits = logits.astype(jnp.float32)
     logits = jnp.nan_to_num(logits, nan=0.0, posinf=1e4, neginf=-1e4)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     valid = (labels != PAD_TOKEN).astype(jnp.float32)
-    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    s, n = jnp.sum(nll * valid), jnp.sum(valid)
+    if reduction == "sum":
+        return s, n
+    return s / jnp.maximum(n, 1.0)
 
 
 def forward_loss(
@@ -204,12 +214,13 @@ def forward_loss(
     config: ModelConfig,
     rng: Optional[jax.Array] = None,
     train: bool = False,
-) -> jnp.ndarray:
+    reduction: str = "mean",
+):
     """Full training forward: teacher forcing + causal/padding masks -> loss.
 
     `token_lengths` follows the reference collate convention
     (train_dataset.py:41-56): valid lengths with rows equal to the batch max
-    already decremented by one.
+    already decremented by one. `reduction` as in `cross_entropy_loss`.
     """
     tgt_input = tokens[:, :-1]
     labels = tokens[:, 1:]
@@ -222,7 +233,7 @@ def forward_loss(
     logits = decode_logits(
         params, tgt_input, memory, config, self_mask=mask, rng=k_dec, train=train
     )
-    return cross_entropy_loss(logits, labels)
+    return cross_entropy_loss(logits, labels, reduction=reduction)
 
 
 def collate_token_lengths(lengths: jnp.ndarray) -> jnp.ndarray:

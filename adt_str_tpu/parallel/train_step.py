@@ -25,13 +25,17 @@ key would render correlated timbres). The augmentation STREAM therefore
 differs between mesh layouts — same family, different draws — exactly like
 the reference's ambient per-worker randomness (SURVEY.md §7).
 
-Loss weighting under shard_map is the reference's own accelerate/DDP
-semantics: each shard's token-masked mean weighs EQUALLY in the pmean
-(torch DDP averages per-rank means in the grad all-reduce the same way),
-which differs from a single program's global token-weighted mean when
-token lengths are ragged across shards. Pinned by
-`test_shard_map_step_matches_single_device` (exact match at uniform
-lengths; mean-of-shard-means at ragged lengths).
+Loss weighting under shard_map (round-5 second pass): the DEFAULT is the
+exact global token-weighted mean — each shard contributes its masked nll
+SUM and token COUNT, both psum'd — so losses AND gradients are identical
+(to fp reduction order) to a single program over the global batch on any
+mesh layout. Mesh-invariant math: the 120-step torch-replay equivalence
+(tests/test_reference_training_equivalence.py) holds regardless of device
+count. `training.ddp_loss_weighting: true` opts into accelerate/DDP
+per-rank weighting instead (each shard's token-masked mean weighs equally
+— what the reference exhibits under `accelerate launch` multi-GPU; the
+two differ only when token lengths are ragged across shards). Pinned by
+`test_shard_map_step_matches_single_device`.
 
 Notable deviations from the reference, by design:
 - no per-step `gc.collect()`/`empty_cache()` (reference anti-pattern,
@@ -63,7 +67,7 @@ def _data_manual(mesh) -> bool:
 
 def _normalize_comm_dtype(comm_dtype):
     """Resolve the `training.grad_allreduce_dtype` knob: None/f32 -> exact
-    fp32 pmean (default), bf16 -> cast-for-transport (see _pmean_grads)."""
+    fp32 pmean (default), bf16 -> cast-for-transport (see _allreduce_grads)."""
     if comm_dtype in (None, "f32", "fp32", "float32"):
         return None
     if comm_dtype in ("bf16", "bfloat16"):
@@ -73,9 +77,11 @@ def _normalize_comm_dtype(comm_dtype):
     )
 
 
-def _pmean_grads(grads, comm_dtype):
-    """Gradient pmean over the data axis, optionally casting to `comm_dtype`
-    for transport. With bf16 the flagship DP program's ONLY collective (the
+def _allreduce_grads(grads, comm_dtype, inv_scale):
+    """Gradient psum over the data axis times `inv_scale` (a replicated
+    scalar: 1/global_token_count for the default token-weighted mean,
+    1/n_shards for DDP weighting), optionally casting to `comm_dtype` for
+    transport. With bf16 the flagship DP program's ONLY collective (the
     483 MB fp32 grad all-reduce, docs/BENCHMARKS.md "v5e-8 projection")
     halves to 242 MB; params, optimizer state, and the update math stay
     fp32 — only the cross-device reduction rounds each grad element to bf16
@@ -83,11 +89,46 @@ def _pmean_grads(grads, comm_dtype):
     forward/backward). Default (None) keeps the exact-fp32 reduction that
     the single-device-equivalence tests pin."""
     if comm_dtype is None:
-        return jax.lax.pmean(grads, "data")
+        return jax.tree.map(
+            lambda g: jax.lax.psum(g, "data") * inv_scale, grads
+        )
     return jax.tree.map(
-        lambda g: jax.lax.pmean(g.astype(comm_dtype), "data").astype(g.dtype),
+        lambda g: jax.lax.psum(g.astype(comm_dtype), "data").astype(g.dtype)
+        * inv_scale,
         grads,
     )
+
+
+def _manual_loss_and_grads(loss_fn, ddp, comm_dtype, args):
+    """Per-shard loss/grads + the cross-shard reduction, two weightings:
+
+    - default (`ddp=False`): the EXACT global token-weighted mean — each
+      shard contributes its masked nll SUM and valid-token COUNT
+      (`loss_fn(..., reduction='sum')`), both psum'd, so loss and gradients
+      are IDENTICAL (to fp reduction order) to a single program over the
+      global batch on ANY mesh layout. Mesh-invariant training math: the
+      120-step torch-replay equivalence holds whether the trainer ran on 1
+      device or 8 (tests/test_reference_training_equivalence.py).
+    - `training.ddp_loss_weighting: true`: each shard's token-masked MEAN
+      weighs equally in a pmean — torch DDP/accelerate's per-rank weighting,
+      i.e. the semantics the REFERENCE exhibits under `accelerate launch`
+      multi-GPU (its single-process runs are token-weighted; the two differ
+      only when token lengths are ragged across shards).
+    """
+    if ddp:
+        loss, grads = jax.value_and_grad(
+            lambda *a: loss_fn(*a, reduction="mean")
+        )(*args)
+        n = jax.lax.psum(jnp.ones(()), "data")
+        return jax.lax.pmean(loss, "data"), _allreduce_grads(
+            grads, comm_dtype, 1.0 / n
+        )
+    (s, n_valid), grads = jax.value_and_grad(
+        lambda *a: loss_fn(*a, reduction="sum"), has_aux=True
+    )(*args)
+    tot = jnp.maximum(jax.lax.psum(n_valid, "data"), 1.0)
+    loss = jax.lax.psum(s, "data") / tot
+    return loss, _allreduce_grads(grads, comm_dtype, 1.0 / tot)
 
 
 def _shard_map_grads(grads_fn, mesh):
@@ -128,7 +169,7 @@ def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainS
 
 def make_train_step(
     config: ModelConfig, tx: optax.GradientTransformation, mesh=None,
-    comm_dtype=None,
+    comm_dtype=None, ddp_loss_weighting: bool = False,
 ):
     """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
 
@@ -136,13 +177,15 @@ def make_train_step(
     "token_lengths": (B,) i32}. Token lengths follow the reference collate
     convention (apply `adt.collate_token_lengths` host- or device-side first).
     With a mesh, grads are computed inside a data-manual shard_map (see
-    module docstring) and pmean'd over ICI; `comm_dtype='bf16'` casts the
-    gradient all-reduce to bf16 transport (see _pmean_grads).
+    module docstring) with the exact global token-weighted reduction
+    (`_manual_loss_and_grads`; `ddp_loss_weighting=True` opts into
+    accelerate/DDP per-rank weighting instead); `comm_dtype='bf16'` casts
+    the gradient all-reduce to bf16 transport (see _allreduce_grads).
     """
     manual = _data_manual(mesh)
     comm_dtype = _normalize_comm_dtype(comm_dtype)
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, reduction="mean"):
         return adt.forward_loss(
             params,
             batch["wavs"],
@@ -151,16 +194,16 @@ def make_train_step(
             config,
             rng=rng,
             train=True,
+            reduction=reduction,
         )
 
     def grads_fn(params, batch, rng, _statics_unused):
-        if manual:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        if manual:
-            loss = jax.lax.pmean(loss, "data")
-            grads = _pmean_grads(grads, comm_dtype)
-        return loss, grads
+        if not manual:
+            return jax.value_and_grad(loss_fn)(params, batch, rng)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return _manual_loss_and_grads(
+            loss_fn, ddp_loss_weighting, comm_dtype, (params, batch, rng)
+        )
 
     wrapped = _shard_map_grads(grads_fn, mesh) if manual else grads_fn
 
@@ -189,6 +232,7 @@ def make_synth_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     comm_dtype=None,
+    ddp_loss_weighting: bool = False,
 ):
     """Training step with on-device synthesis fused in: one XLA program does
     one-shot gathers + scatter-add rendering + FX + mel + transformer fwd/bwd +
@@ -199,8 +243,9 @@ def make_synth_train_step(
     `batch`: {"notes": (B, MAX_NOTES, 4), "note_mask": (B, MAX_NOTES),
     "tokens": (B, T), "token_lengths": (B,)}. With a mesh, the synthesis +
     model fwd/bwd run per-shard inside a data-manual shard_map (see module
-    docstring: GSPMD cannot partition the render/mel custom calls) with a
-    pmean gradient reduction; the synth rng is folded per shard.
+    docstring: GSPMD cannot partition the render/mel custom calls) with the
+    exact global token-weighted reduction (`_manual_loss_and_grads`); the
+    synth rng is folded per shard.
     """
     from adt_str_tpu.synth.render import check_bins_loaded, render_batch
 
@@ -209,7 +254,7 @@ def make_synth_train_step(
     manual = _data_manual(mesh)
     comm_dtype = _normalize_comm_dtype(comm_dtype)
 
-    def loss_fn(params, batch, wavs, rng):
+    def loss_fn(params, batch, wavs, rng, reduction="mean"):
         return adt.forward_loss(
             params,
             wavs,
@@ -218,6 +263,7 @@ def make_synth_train_step(
             config,
             rng=rng,
             train=True,
+            reduction=reduction,
         )
 
     def grads_fn(params, batch, rng, statics):
@@ -228,11 +274,12 @@ def make_synth_train_step(
         wavs = render_batch(
             statics, batch["notes"], batch["note_mask"], synth_keys, synth_config
         )
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, wavs, k_model)
-        if manual:
-            loss = jax.lax.pmean(loss, "data")
-            grads = _pmean_grads(grads, comm_dtype)
-        return loss, grads
+        if not manual:
+            return jax.value_and_grad(loss_fn)(params, batch, wavs, k_model)
+        return _manual_loss_and_grads(
+            loss_fn, ddp_loss_weighting, comm_dtype,
+            (params, batch, wavs, k_model),
+        )
 
     wrapped = _shard_map_grads(grads_fn, mesh) if manual else grads_fn
 
@@ -276,16 +323,20 @@ def make_synth_eval_step(config: ModelConfig, synth_config, statics, mesh=None):
         wavs = render_batch(
             statics, batch["notes"], batch["note_mask"], keys, synth_config
         )
-        loss = adt.forward_loss(
-            params,
-            wavs,
-            batch["tokens"],
-            batch["token_lengths"],
-            config,
-            rng=None,
-            train=False,
+        if not manual:
+            loss = adt.forward_loss(
+                params, wavs, batch["tokens"], batch["token_lengths"], config,
+                rng=None, train=False,
+            )
+            return loss, jnp.zeros(())
+        # exact global token-weighted mean: identical to the single-device
+        # eval loss on any mesh layout (see _manual_loss_and_grads)
+        s, n = adt.forward_loss(
+            params, wavs, batch["tokens"], batch["token_lengths"], config,
+            rng=None, train=False, reduction="sum",
         )
-        return (jax.lax.pmean(loss, "data") if manual else loss), jnp.zeros(())
+        tot = jnp.maximum(jax.lax.psum(n, "data"), 1.0)
+        return jax.lax.psum(s, "data") / tot, jnp.zeros(())
 
     wrapped = _shard_map_grads(loss_fn, mesh) if manual else loss_fn
 
@@ -306,16 +357,19 @@ def make_eval_step(config: ModelConfig, mesh=None):
     manual = _data_manual(mesh)
 
     def loss_fn(params, batch, _rng, _statics):
-        loss = adt.forward_loss(
-            params,
-            batch["wavs"],
-            batch["tokens"],
-            batch["token_lengths"],
-            config,
-            rng=None,
-            train=False,
+        if not manual:
+            loss = adt.forward_loss(
+                params, batch["wavs"], batch["tokens"],
+                batch["token_lengths"], config, rng=None, train=False,
+            )
+            return loss, jnp.zeros(())
+        # exact global token-weighted mean (see _manual_loss_and_grads)
+        s, n = adt.forward_loss(
+            params, batch["wavs"], batch["tokens"], batch["token_lengths"],
+            config, rng=None, train=False, reduction="sum",
         )
-        return (jax.lax.pmean(loss, "data") if manual else loss), jnp.zeros(())
+        tot = jnp.maximum(jax.lax.psum(n, "data"), 1.0)
+        return jax.lax.psum(s, "data") / tot, jnp.zeros(())
 
     wrapped = _shard_map_grads(loss_fn, mesh) if manual else loss_fn
 

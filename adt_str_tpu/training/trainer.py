@@ -257,11 +257,13 @@ def train(cfg: FrameworkConfig) -> TrainState:
         step_fn = make_synth_train_step(
             model_cfg, cfg.synthetiser, synth_statics, tx, mesh=mesh,
             comm_dtype=cfg.training.grad_allreduce_dtype,
+            ddp_loss_weighting=cfg.training.ddp_loss_weighting,
         )
     else:
         step_fn = make_train_step(
             model_cfg, tx, mesh=mesh,
             comm_dtype=cfg.training.grad_allreduce_dtype,
+            ddp_loss_weighting=cfg.training.ddp_loss_weighting,
         )
     state = init_train_state(params, tx)
 

@@ -22,6 +22,14 @@ REPO = Path(__file__).resolve().parent.parent
 @pytest.mark.slow
 def test_data_day_rehearsal_chain(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # run the chain at the documented single-device protocol: inheriting the
+    # suite's --xla_force_host_platform_device_count=8 would put the train
+    # stage on an 8-process virtual mesh — a 1-core host then timeshares 8
+    # device threads and the 3-minute train stage blows past the timeout
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
     proc = subprocess.run(
         [sys.executable, "tools/data_day_rehearsal.py",
          "--workdir", str(tmp_path / "work"),

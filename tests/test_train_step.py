@@ -114,16 +114,16 @@ def test_sharded_step_matches_single_device():
 @pytest.mark.slow
 def test_shard_map_step_matches_single_device():
     """Round-5 data-manual shard_map path (`make_train_step(mesh=...)`):
-    with dropout off and UNIFORM token lengths, the per-shard masked means
-    pmean to exactly the global mean, so loss/grad_norm must match the
-    single-device step to fp32 reduction noise. (With RAGGED lengths the
-    shard_map path intentionally computes the mean-of-shard-means — the
-    reference's own accelerate/DDP multi-GPU semantics, where each rank's
-    token-masked mean weighs equally in the grad all-reduce — which differs
-    from the single-program global token-weighted mean; pinned below.)
-    This is the direct equivalence check for the shard_map program itself —
-    the older sharded test exercises the plain-GSPMD (mesh=None,
-    sharded-args) path."""
+    the DEFAULT reduction is the exact global token-weighted mean (shards
+    psum nll sums + token counts), so with dropout off the sharded loss and
+    grad_norm must match the single-device step to fp reduction noise at
+    ANY token-length profile — uniform or ragged. Mesh-invariant training
+    math: the torch-replay equivalence suite holds regardless of device
+    count. `training.ddp_loss_weighting: true` opts into accelerate/DDP
+    per-rank weighting (mean of per-shard masked means — the reference's
+    own multi-GPU behavior), pinned at the bottom. This is the direct
+    equivalence check for the shard_map program itself — the older sharded
+    test exercises the plain-GSPMD (mesh=None, sharded-args) path."""
     cfg = tiny_config()  # dropout=0.0: the rng fold-in must then be inert
     params = adt.init_params(jax.random.PRNGKey(0), cfg)
     tcfg = TrainingConfig(learning_rate=1e-3, warmup_ratio=0.0)
@@ -179,12 +179,15 @@ def test_shard_map_step_matches_single_device():
     _, m3 = step3(init_train_state(p42, tx), b42, jax.random.PRNGKey(7))
     np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
 
-    # ragged lengths: the shard_map loss is the mean of per-shard masked
-    # means (accelerate/DDP semantics — the reference's own multi-GPU
-    # weighting), NOT the global token-weighted mean. With one example per
-    # shard that is exactly the mean of per-example losses.
+    # ragged lengths, DEFAULT weighting: the sharded loss equals the
+    # single-program global token-weighted mean EXACTLY (to fp reduction
+    # order) — the property the torch-replay equivalence rides on
     ragged = make_batch(cfg, B=8, seed=1)
     params_fresh = adt.init_params(jax.random.PRNGKey(0), cfg)  # step1 donated
+    global_mean = float(adt.forward_loss(
+        params_fresh, ragged["wavs"], ragged["tokens"],
+        ragged["token_lengths"], cfg, rng=None, train=False,
+    ))
     per_example = np.mean([
         float(adt.forward_loss(
             params_fresh,
@@ -195,12 +198,20 @@ def test_shard_map_step_matches_single_device():
         ))
         for i in range(8)
     ])
+    assert abs(global_mean - per_example) > 1e-3  # the two weightings differ
     mesh81 = mesh_lib.make_mesh(n_data=8, n_model=1)
     p81 = mesh_lib.shard_params(mesh81, adt.init_params(jax.random.PRNGKey(0), cfg))
     b81 = mesh_lib.shard_batch(mesh81, ragged)
     step4 = make_train_step(cfg, tx, mesh=mesh81)
     _, m4 = step4(init_train_state(p81, tx), b81, jax.random.PRNGKey(7))
-    np.testing.assert_allclose(float(m4["loss"]), per_example, rtol=1e-5)
+    np.testing.assert_allclose(float(m4["loss"]), global_mean, rtol=1e-5)
+
+    # ddp_loss_weighting=True: accelerate/DDP per-rank weighting — with one
+    # example per shard, exactly the mean of per-example losses
+    p81b = mesh_lib.shard_params(mesh81, adt.init_params(jax.random.PRNGKey(0), cfg))
+    step5 = make_train_step(cfg, tx, mesh=mesh81, ddp_loss_weighting=True)
+    _, m5 = step5(init_train_state(p81b, tx), b81, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m5["loss"]), per_example, rtol=1e-5)
 
 
 @pytest.mark.slow
@@ -594,6 +605,46 @@ def test_remat_grads_match_plain():
     flat_b = jax.tree.leaves(grads[True][1])
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_under_mesh():
+    """MultiSteps composes with the data-manual shard_map step: 2 sharded
+    micro-steps at global bs 8 with accumulation=2 reproduce 1 sharded step
+    at global bs 16 (pmean'd micro-grads accumulate exactly like
+    single-device ones — uniform token lengths so shard means equal the
+    global mean). Pins the production combination of
+    `gradient_accumulation_steps` with a device mesh."""
+    cfg = tiny_config()
+    params = adt.init_params(jax.random.PRNGKey(0), cfg)
+    full = make_uniform_batch(cfg, B=16)
+    kw = dict(learning_rate=1e-3, warmup_ratio=0.0, weight_decay=1e-5,
+              max_grad_norm=1.0)
+    tx_a, _ = make_optimizer(
+        TrainingConfig(gradient_accumulation_steps=2, **kw),
+        total_steps=10, params=params,
+    )
+    tx_b, _ = make_optimizer(TrainingConfig(**kw), total_steps=10, params=params)
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    rng = jax.random.PRNGKey(1)
+
+    step_a = make_train_step(cfg, tx_a, mesh=mesh)
+    sa = init_train_state(
+        mesh_lib.shard_params(mesh, adt.init_params(jax.random.PRNGKey(0), cfg)),
+        tx_a,
+    )
+    sa, _ = step_a(sa, mesh_lib.shard_batch(mesh, _split(full, 0, 8)), rng)
+    sa, _ = step_a(sa, mesh_lib.shard_batch(mesh, _split(full, 8, 16)), rng)
+
+    step_b = make_train_step(cfg, tx_b, mesh=mesh)
+    sb = init_train_state(
+        mesh_lib.shard_params(mesh, adt.init_params(jax.random.PRNGKey(0), cfg)),
+        tx_b,
+    )
+    sb, _ = step_b(sb, mesh_lib.shard_batch(mesh, full), rng)
+
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=0)
 
 
 @pytest.mark.slow

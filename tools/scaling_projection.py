@@ -208,7 +208,7 @@ def main() -> None:
     # Two comm dtypes per framing: f32 (the exact-pmean default the
     # equivalence tests pin) and bf16 transport
     # (`training.grad_allreduce_dtype: bf16` — halves the one collective;
-    # see parallel/train_step._pmean_grads).
+    # see parallel/train_step._allreduce_grads).
     framings = {}
     for name, pdb, ms in (
         ("same_global_batch_64", 8, ms8),
